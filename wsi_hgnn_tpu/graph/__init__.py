@@ -1,0 +1,14 @@
+"""Graph core: the TPU-native replacement for DGL's graph layer."""
+from .typed_graph import TypedGraph, from_arrays, to_homogeneous, bucket_size
+from .batch import batch_graphs
+from . import ops, transforms
+
+__all__ = [
+    "TypedGraph",
+    "from_arrays",
+    "to_homogeneous",
+    "bucket_size",
+    "batch_graphs",
+    "ops",
+    "transforms",
+]

@@ -1,0 +1,116 @@
+"""Host-side batching pipeline — the GraphDataLoader replacement.
+
+The reference wraps datasets in `dgl.dataloading.GraphDataLoader(batch_size,
+shuffle=True)` (/root/reference/trainer/train_gnn.py:48-53). Here batching is
+`batch_graphs` packing into size-bucketed capacities; every batch has a FIXED
+graph count (short tails are padded with a zero-weight dummy graph) so one
+epoch touches a handful of compiled programs.
+
+A background prefetch thread overlaps the numpy packing with device compute
+(the reference's dataloader workers analog, SURVEY.md §2.4 row
+'intra-pipeline concurrency').
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..graph import TypedGraph, batch_graphs
+from ..graph.typed_graph import bucket_size
+
+
+class GraphLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        node_capacity: Optional[int] = None,
+        edge_capacity: Optional[int] = None,
+        bucket_base: int = 1024,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self.node_capacity = node_capacity
+        self.edge_capacity = edge_capacity
+        self.bucket_base = bucket_base
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+
+    def _make_batch(self, idxs: Sequence[int]) -> Tuple[TypedGraph, np.ndarray, np.ndarray]:
+        graphs: List[TypedGraph] = []
+        labels: List[int] = []
+        for i in idxs:
+            g, y = self.dataset[i]
+            graphs.append(g)
+            labels.append(int(y))
+        weights = [1.0] * len(graphs)
+        # pad short tail batches with a repeat of the first graph, weight 0
+        while len(graphs) < self.batch_size:
+            graphs.append(graphs[0])
+            labels.append(0)
+            weights.append(0.0)
+        gb = batch_graphs(
+            graphs,
+            node_capacity=self.node_capacity,
+            edge_capacity=self.edge_capacity,
+            bucket_base=self.bucket_base,
+        )
+        return gb, np.asarray(labels, np.int32), np.asarray(weights, np.float32)
+
+    def _index_batches(self) -> List[List[int]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        return [
+            list(order[i : i + self.batch_size])
+            for i in range(0, len(order), self.batch_size)
+        ]
+
+    def __iter__(self) -> Iterator[Tuple[TypedGraph, np.ndarray, np.ndarray]]:
+        batches = self._index_batches()
+        if self.prefetch <= 0:
+            for idxs in batches:
+                yield self._make_batch(idxs)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for idxs in batches:
+                    q.put(self._make_batch(idxs))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+def dataset_capacities(dataset, batch_size: int, bucket_base: int = 1024):
+    """Scan a dataset once for worst-case batch capacities so the whole run
+    compiles exactly one program per (node, edge) bucket pair."""
+    max_n = max_e = 0
+    for i in range(len(dataset)):
+        g, _ = dataset[i][:2]
+        max_n = max(max_n, int(np.asarray(g.node_mask).sum()))
+        max_e = max(max_e, int(np.asarray(g.edge_mask).sum()))
+    return (
+        bucket_size(max_n * batch_size, base=bucket_base),
+        bucket_size(max_e * batch_size, base=bucket_base),
+    )

@@ -1,0 +1,116 @@
+"""Evaluator (reference /root/reference/evaluator/eval_homo_graph.py:12-96).
+
+The reference evaluates one slide at a time with a host round-trip per
+graph; here evaluation batches slides into the same bucketed shapes as
+training and runs one compiled forward per bucket.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import parse_gnn_model
+from ..graph import to_homogeneous
+from ..data.loader import GraphLoader, dataset_capacities
+from .checkpoint import CheckpointManager
+from .metrics import accuracy, metrics
+
+
+def evaluate(
+    model,
+    variables: Dict[str, Any],
+    dataset,
+    average: str,
+    is_hetero: bool,
+    batch_size: int = 8,
+) -> Dict[str, float]:
+    """Run the full dataset through the model; reference metric pack."""
+    if not variables.get("batch_stats"):
+        variables = {"params": variables["params"]}
+
+    @jax.jit
+    def fwd(graph):
+        g = graph if is_hetero else to_homogeneous(graph)
+        logits = model.apply(variables, g, train=False)
+        return jax.nn.softmax(logits)
+
+    cap_n, cap_e = dataset_capacities(dataset, batch_size)
+    loader = GraphLoader(
+        dataset, batch_size, shuffle=False,
+        node_capacity=cap_n, edge_capacity=cap_e,
+    )
+    probs, labels = [], []
+    for gb, lb, w in loader:
+        p = np.asarray(fwd(gb))
+        real = w > 0
+        probs.append(p[real])
+        labels.append(lb[real])
+    prob = np.concatenate(probs)
+    label = np.concatenate(labels)
+    precision, recall, f1, auc = metrics(prob, label, average=average)
+    return {
+        "acc": accuracy(prob, label),
+        "f1": f1,
+        "precision": precision,
+        "recall": recall,
+        "auc": auc,
+        "prob": prob,
+        "label": label,
+    }
+
+
+class HomoGraphEvaluator:
+    """Checkpoint-loading evaluator with the reference's constructor contract
+    (parse model from config, restore latest version, evaluate eval_path)."""
+
+    def __init__(self, config: Dict, verbose: bool = True):
+        from .trainer import select_dataset  # avoid cycle
+
+        self.config = config
+        self.config_data = config["datasets"]
+        self.config_gnn = config["GNN"]
+        self.verbose = verbose
+        self.checkpoint_manager = CheckpointManager(config["checkpoint"]["path"])
+
+        self.model, self.is_hetero = parse_gnn_model(self.config_gnn)
+        self._select_dataset = select_dataset
+        self.test_data, self.average = select_dataset(
+            self.config_data, self.config_data["eval_path"], "eval"
+        )
+
+        # restore latest checkpoint (raw msgpack — structure-free)
+        example, _ = self.test_data[0]
+        g = example if self.is_hetero else to_homogeneous(example)
+        variables = self.model.init(jax.random.PRNGKey(0), g)
+        try:
+            restored = self.checkpoint_manager.load_model_raw()
+            # msgpack_restore yields numpy leaves; promote to device arrays
+            # (numpy_array[tracer] fancy-indexing fails under jit otherwise)
+            restored = jax.tree.map(jnp.asarray, restored)
+            self.variables = {
+                "params": restored["params"],
+                "batch_stats": restored.get("batch_stats", {}),
+            }
+        except FileNotFoundError:
+            self.variables = {
+                "params": variables["params"],
+                "batch_stats": variables.get("batch_stats", {}),
+            }
+
+    def load_data(self, path):
+        data, self.average = self._select_dataset(self.config_data, path, "eval")
+        return data
+
+    def eval(self):
+        m = evaluate(
+            self.model, self.variables, self.test_data, self.average, self.is_hetero
+        )
+        if self.verbose:
+            print(
+                "Metrics ==> [Acc: {acc:.4f} | F1: {f1:.4f} | Ps: {precision:.4f}"
+                " | Rec: {recall:.4f} | AUC: {auc:.4f}]".format(**m)
+            )
+        return m["acc"], m["f1"], m["precision"], m["recall"], m["auc"]

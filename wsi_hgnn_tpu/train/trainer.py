@@ -1,0 +1,238 @@
+"""GNN trainer — the orchestration layer (reference
+/root/reference/trainer/trainer.py:7-37 + trainer/train_gnn.py:18-156),
+re-built around one jitted train step.
+
+Differences from the reference, all TPU-motivated and behavior-preserving:
+  * the whole step — graph augmentation, forward, loss, backward, optimizer
+    update — is a single compiled XLA program; augmentation runs on device
+    from a PRNG key instead of in dataloader workers;
+  * per-epoch evaluation re-uses the in-memory state instead of re-reading
+    the checkpoint from disk (the reference reconstructs a
+    HomoGraphEvaluator from the file every epoch, train_gnn.py:111-115);
+  * batches are fixed-shape (dummy-padded tail with zero loss weight), so
+    500 epochs compile exactly one train-step program per size bucket.
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..config import parse_gnn_model, parse_loss, parse_optimizer
+from ..data.datasets import (
+    GraphDataset,
+    TCGACancerStageDataset,
+    TCGACancerTypingDataset,
+)
+from ..data.loader import GraphLoader, dataset_capacities
+from ..graph import TypedGraph, to_homogeneous, transforms
+from .checkpoint import CheckpointManager
+from .evaluator import HomoGraphEvaluator, evaluate
+from .metrics import accuracy, metrics
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+    step: jax.Array
+
+
+def select_dataset(config_data: Dict, split_path: str, type_: str):
+    """The (name, task) dataset switch of train_gnn.py:32-46 /
+    eval_homo_graph.py:29-46. Returns (dataset, average)."""
+    name = config_data["dataset"]
+    task = config_data.get("task", "")
+    normal_path = (
+        config_data.get("normal_path", "")
+        if name in ("COAD", "BRCA", "ESCA")
+        else ""
+    )
+    if task == "cancer staging":
+        return TCGACancerStageDataset(split_path, normal_path, type_), "macro"
+    if task == "cancer typing":
+        return TCGACancerTypingDataset(split_path, normal_path, type_), "binary"
+    return GraphDataset(split_path, normal_path, name, type_), "binary"
+
+
+class GNNTrainer:
+    def __init__(self, config: Dict, seed: int = 611):
+        self.config = config
+        self.config_data = config["datasets"]
+        self.config_train = config["train"]
+        self.config_optim = config["optimizer"]
+        self.config_checkpoint = config["checkpoint"]
+        self.config_gnn = config["GNN"]
+        self.name = config.get("name", "")
+
+        self.checkpoint_manager = CheckpointManager(self.config_checkpoint["path"])
+        self.n_epoch = self.config_train["num_epochs"]
+        self.batch_size = self.config_train["batch_size"]
+
+        self.model, self.is_hetero = parse_gnn_model(self.config_gnn)
+        self.tx = parse_optimizer(self.config_optim)
+        self.loss_fcn = parse_loss(self.config_train)
+
+        train_path = self.config_data["train_path"]
+        self.valid_path = self.config_data["valid_path"]
+        self.eval_path = self.config_data["eval_path"]
+        self.train_data, self.average = select_dataset(
+            self.config_data, train_path, "train"
+        )
+
+        cap_n, cap_e = dataset_capacities(self.train_data, self.batch_size)
+        self.loader = GraphLoader(
+            self.train_data,
+            self.batch_size,
+            shuffle=True,
+            seed=seed,
+            node_capacity=cap_n,
+            edge_capacity=cap_e,
+        )
+
+        self.rng = jax.random.PRNGKey(seed)
+        self.state: Optional[TrainState] = None
+        self._train_step = jax.jit(self._train_step_impl)
+
+    # ------------------------------------------------------------------ #
+    def _prepare_graph(self, g: TypedGraph) -> TypedGraph:
+        return g if self.is_hetero else to_homogeneous(g)
+
+    def init_state(self, example: TypedGraph) -> TrainState:
+        init_rng, self.rng = jax.random.split(self.rng)
+        variables = self.model.init(init_rng, self._prepare_graph(example))
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        return TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            rng=self.rng,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def _train_step_impl(self, state: TrainState, graph: TypedGraph, labels, weights):
+        rng, aug_key, drop_key = jax.random.split(state.rng, 3)
+        graph = self._prepare_graph(graph)
+        graph = transforms.train_transform(graph, aug_key)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            mutable = False
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out = self.model.apply(
+                variables,
+                graph,
+                train=True,
+                rngs={"dropout": drop_key},
+                mutable=mutable,
+            )
+            logits, new_vars = out if mutable else (out, {})
+            loss = self.loss_fcn(logits, labels, weights)
+            return loss, (logits, new_vars.get("batch_stats", state.batch_stats))
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            rng=rng,
+            step=state.step + 1,
+        )
+        return new_state, loss, jax.nn.softmax(logits)
+
+    # ------------------------------------------------------------------ #
+    def train(self, log_every: int = 1) -> Dict[str, float]:
+        print("Start training GNN")
+        last_stats: Dict[str, float] = {}
+        for epoch in range(self.n_epoch):
+            t0 = time.time()
+            res = 0.0
+            probs, labels_all, accs, weights_all = [], [], [], []
+            for gb, labels, weights in self.loader:
+                if self.state is None:
+                    self.state = self.init_state(gb)
+                self.state, loss, prob = self._train_step(
+                    self.state, gb, jnp.asarray(labels), jnp.asarray(weights)
+                )
+                res += float(loss)
+                prob = np.asarray(prob)
+                real = weights > 0
+                probs.append(prob[real])
+                labels_all.append(labels[real])
+                accs.append(accuracy(prob[real], labels[real]))
+
+            prob_cat = np.concatenate(probs)
+            label_cat = np.concatenate(labels_all)
+            acc = float(np.mean(accs))
+            precision, recall, f1, train_auc = metrics(
+                prob_cat, label_cat, average=self.average
+            )
+
+            # validation + testing every epoch, like the reference
+            test_m = self.evaluate_split(self.eval_path)
+            val_m = self.evaluate_split(self.valid_path)
+
+            epoch_stats = {
+                "Epoch": epoch + 1,
+                "Train Loss: ": res,
+                "Training Accuracy": acc,
+                "Training Precision": precision,
+                "Training Recall": recall,
+                "Training F1": f1,
+                "Training AUC": train_auc,
+                "Validation Accuracy": val_m["acc"],
+                "Validation F1": val_m["f1"],
+                "Validation Precision": val_m["precision"],
+                "Validation Recall": val_m["recall"],
+                "Validation AUC": val_m["auc"],
+                "Testing Accuracy": test_m["acc"],
+                "Testing F1": test_m["f1"],
+                "Testing Precision": test_m["precision"],
+                "Testing Recall": test_m["recall"],
+                "Testing AUC": test_m["auc"],
+            }
+            self.checkpoint_manager.write_new_version(
+                self.config, self._checkpoint_state(), epoch_stats
+            )
+            self.checkpoint_manager.remove_old_version()
+            last_stats = epoch_stats
+            if log_every and (epoch % log_every == 0):
+                print(
+                    f"Epoch {epoch} | loss {res:.4f} | acc {acc:.4f} | "
+                    f"val auc {val_m['auc']:.4f} | test auc {test_m['auc']:.4f} | "
+                    f"{time.time() - t0:.2f}s"
+                )
+        return last_stats
+
+    def _checkpoint_state(self):
+        return {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "rng": self.state.rng,
+        }
+
+    def evaluate_split(self, split_path: str) -> Dict[str, float]:
+        data, average = select_dataset(self.config_data, split_path, "eval")
+        return evaluate(
+            self.model,
+            {"params": self.state.params, "batch_stats": self.state.batch_stats},
+            data,
+            average,
+            is_hetero=self.is_hetero,
+        )

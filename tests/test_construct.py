@@ -1,0 +1,68 @@
+"""Graph-construction golden tests: exact KNN vs NumPy brute force, Pearson
+edge typing vs scipy.stats.pearsonr (the reference's metric,
+graph_constructor.py:279-282)."""
+import numpy as np
+import pytest
+
+from wsi_hgnn_tpu.graph import build_graph
+from wsi_hgnn_tpu.ops import knn_l2, pearson_edges
+
+
+def test_knn_matches_bruteforce():
+    rng = np.random.RandomState(0)
+    feats = rng.randn(50, 32).astype(np.float32)
+    idx, d2 = knn_l2(feats, 5)
+    idx, d2 = np.asarray(idx), np.asarray(d2)
+    # brute force
+    dmat = ((feats[:, None] - feats[None, :]) ** 2).sum(-1)
+    np.fill_diagonal(dmat, np.inf)
+    expect = np.argsort(dmat, axis=1)[:, :5]
+    expect_d = np.sort(dmat, axis=1)[:, :5]
+    np.testing.assert_allclose(d2, expect_d, rtol=1e-3, atol=1e-3)
+    # indices may differ on exact ties; compare via distances per row
+    for i in range(50):
+        np.testing.assert_allclose(
+            dmat[i, idx[i]], dmat[i, expect[i]], rtol=1e-3, atol=1e-3
+        )
+
+
+def test_knn_mask_excludes_padding():
+    rng = np.random.RandomState(1)
+    feats = rng.randn(32, 8).astype(np.float32)
+    mask = np.arange(32) < 20
+    idx, _ = knn_l2(feats, 4, mask)
+    assert np.asarray(idx).max() < 20
+
+
+def test_pearson_matches_scipy():
+    scipy_stats = pytest.importorskip("scipy.stats")
+    rng = np.random.RandomState(2)
+    feats = rng.randn(20, 64).astype(np.float32)
+    src = rng.randint(0, 20, 30)
+    dst = rng.randint(0, 20, 30)
+    esign, sim = pearson_edges(feats, src, dst)
+    esign, sim = np.asarray(esign), np.asarray(sim)
+    for i in range(30):
+        r = scipy_stats.pearsonr(feats[src[i]], feats[dst[i]])[0]
+        assert sim[i] == pytest.approx(r, abs=1e-5)
+        assert esign[i] == (1 if r > 0 else 0)
+
+
+def test_build_graph_end_to_end():
+    rng = np.random.RandomState(3)
+    feats = rng.randn(40, 16).astype(np.float32)
+    ntypes = rng.randint(0, 6, 40)
+    het, homo = build_graph(feats, ntypes, radius=4)
+    # radius-1 = 3 edges per node
+    assert int(het.edge_mask.sum()) == 40 * 3
+    assert het.n_node_types == 6 and homo.n_node_types == 1
+    np.testing.assert_allclose(np.asarray(het.feat)[:40], feats, rtol=1e-6)
+    # every real edge's sim equals pearson r of its endpoints
+    src = np.asarray(het.src)[:120]; dst = np.asarray(het.dst)[:120]
+    sim = np.asarray(het.sim)[:120]
+    fc = feats - feats.mean(1, keepdims=True)
+    fn = fc / np.linalg.norm(fc, axis=1, keepdims=True)
+    np.testing.assert_allclose(sim, (fn[src] * fn[dst]).sum(1), atol=1e-5)
+    # node types preserved; edge signs consistent
+    np.testing.assert_array_equal(np.asarray(het.node_type)[:40], ntypes)
+    np.testing.assert_array_equal(np.asarray(het.esign)[:120], (sim > 0).astype(int))

@@ -1,0 +1,103 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (the TPU-world
+substitute for multi-node testing, SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import __graft_entry__ as graft
+from wsi_hgnn_tpu.graph.build import build_batch_device
+from wsi_hgnn_tpu.parallel import make_mesh, stack_graphs, shard_stacked
+
+
+def test_dryrun_multichip_8():
+    graft.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    fn, args = graft.entry()
+    out = jax.jit(fn)(*args)
+    assert np.asarray(out).shape == (2, 2)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_build_batch_device_matches_host_build():
+    from wsi_hgnn_tpu.graph import build_graph
+
+    rng = np.random.RandomState(0)
+    feats = rng.randn(2, 40, 16).astype(np.float32)
+    ntypes = rng.randint(0, 6, (2, 40)).astype(np.int32)
+    mask = np.ones((2, 40), dtype=bool)
+    gb = build_batch_device(jnp.asarray(feats), jnp.asarray(ntypes),
+                            jnp.asarray(mask), radius=4, n_node_types=6)
+    assert gb.n_graphs == 2
+    assert int(gb.edge_mask.sum()) == 2 * 40 * 3
+    # slide 0's edges equal the host single-slide construction
+    het0, _ = build_graph(feats[0], ntypes[0], radius=4, node_capacity=40)
+    e0 = 40 * 3
+    np.testing.assert_array_equal(np.asarray(gb.src)[:e0], np.asarray(het0.src)[:e0])
+    np.testing.assert_allclose(np.asarray(gb.sim)[:e0], np.asarray(het0.sim)[:e0], atol=1e-5)
+    # slide 1's node-graph segment ids
+    np.testing.assert_array_equal(np.asarray(gb.node_graph), [0] * 40 + [1] * 40)
+
+
+def test_dp_gradients_match_single_device():
+    """DP over the mesh must produce the same update as one big batch."""
+    from wsi_hgnn_tpu.config import loads_config, parse_gnn_model, parse_loss, parse_optimizer
+    from wsi_hgnn_tpu.parallel import make_dp_train_step, place_state
+    from wsi_hgnn_tpu.train.trainer import TrainState
+
+    cfg = loads_config(
+        """
+GNN:
+  name: "HEAT2"
+  n_node_types: 6
+  num_layers: 1
+  in_dim: 8
+  hidden_dim: 16
+  out_dim: 2
+  n_heads: 2
+  feat_drop: 0.0
+  graph_pooling_type: mean
+optimizer: {opt_method: "ADAM", lr: 0.001, weight_decay: 0.0}
+train: {loss: "CE"}
+"""
+    )
+    model, is_hetero = parse_gnn_model(cfg["GNN"])
+    tx = parse_optimizer(cfg["optimizer"])
+    loss_fcn = parse_loss(cfg["train"])
+
+    n_dev, b, n, d = 4, 2, 32, 8
+    rng = np.random.RandomState(1)
+    feats = jnp.asarray(rng.randn(n_dev, b, n, d).astype(np.float32))
+    ntypes = jnp.asarray(rng.randint(0, 6, (n_dev, b, n)).astype(np.int32))
+    mask = jnp.ones((n_dev, b, n), dtype=bool)
+    labels = jnp.asarray(rng.randint(0, 2, (n_dev, b)).astype(np.int32))
+    weights = jnp.ones((n_dev, b), dtype=jnp.float32)
+
+    build = jax.vmap(lambda f, t, m: build_batch_device(f, t, m, 4, 6))
+    graphs = build(feats, ntypes, mask)
+    g0 = jax.tree.map(lambda x: x[0], graphs)
+    variables = model.init(jax.random.PRNGKey(0), g0)
+    state = TrainState(
+        params=variables["params"], batch_stats={},
+        opt_state=tx.init(variables["params"]),
+        rng=jax.random.PRNGKey(42), step=jnp.zeros((), jnp.int32),
+    )
+
+    mesh = make_mesh(4)
+    dp_step = make_dp_train_step(model, tx, loss_fcn, is_hetero, mesh, augment=False)
+    st_dp = place_state(state, mesh)
+    new_dp, loss_dp, _ = dp_step(
+        st_dp, shard_stacked(graphs, mesh), shard_stacked(labels, mesh),
+        shard_stacked(weights, mesh),
+    )
+
+    # single-device run of the identical step (no mesh placement)
+    single_step = make_dp_train_step(model, tx, loss_fcn, is_hetero, mesh, augment=False)
+    new_1, loss_1, _ = single_step(state, graphs, labels, weights)
+
+    assert float(loss_dp) == np.float32(loss_1) or abs(float(loss_dp) - float(loss_1)) < 1e-5
+    leaves_dp = jax.tree.leaves(new_dp.params)
+    leaves_1 = jax.tree.leaves(new_1.params)
+    for a, b_ in zip(leaves_dp, leaves_1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-6)

@@ -1,6 +1,7 @@
 """Graph core: the TPU-native replacement for DGL's graph layer."""
 from .typed_graph import TypedGraph, from_arrays, to_homogeneous, bucket_size
 from .batch import batch_graphs
+from .build import build_graph, build_edges_device
 from . import ops, transforms
 
 __all__ = [
@@ -9,6 +10,8 @@ __all__ = [
     "to_homogeneous",
     "bucket_size",
     "batch_graphs",
+    "build_graph",
+    "build_edges_device",
     "ops",
     "transforms",
 ]

@@ -1,0 +1,57 @@
+"""Exact K-nearest-neighbour search as dense TPU matmul + top-k.
+
+Replaces the reference's nmslib HNSW index (Hnsw, space='l2', M=16,
+efC=400, ef=90 — /root/reference/construct_graph/graph_constructor.py:43-81,
+:226,:265-273). A slide has 10^2-10^4 patches, so the exact N x N distance
+computation is a single MXU-friendly GEMM — faster end-to-end than building
+an approximate index, and exact rather than approximate (HNSW recall < 1.0;
+parity is therefore gated at the task-metric level, SURVEY.md §7 hard part
+4).
+
+Masked (padded) rows are pushed to +inf distance so they are never selected
+as neighbours, keeping the kernel usable on fixed-capacity feature buffers.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("k",))
+def knn_l2(features: jax.Array, k: int, mask: jax.Array | None = None):
+    """Indices of the k nearest neighbours (L2) of every row, self excluded.
+
+    features: [N, D]; mask: [N] bool (False rows ignored as both query and
+    candidate). Returns (idx [N, k], dist2 [N, k]) — squared distances,
+    ascending. Matches `Hnsw.query(vec, topn=k+1)[1:]` semantics: the query
+    point itself (distance 0) is dropped.
+    """
+    n = features.shape[0]
+    f32 = features.astype(jnp.float32)
+    sq = jnp.sum(f32 * f32, axis=1)
+    # ||a-b||^2 = ||a||^2 + ||b||^2 - 2 a.b ; one big GEMM on the MXU
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (f32 @ f32.T)
+    d2 = jnp.maximum(d2, 0.0)
+
+    big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
+    eye = jnp.eye(n, dtype=bool)
+    d2 = jnp.where(eye, big, d2)  # exclude self
+    if mask is not None:
+        d2 = jnp.where(mask[None, :], d2, big)  # exclude padded candidates
+
+    neg_top, idx = jax.lax.top_k(-d2, k)
+    return idx, -neg_top
+
+
+@partial(jax.jit, static_argnames=("k",))
+def knn_edges(features: jax.Array, k: int, mask: jax.Array | None = None):
+    """KNN edge list (src, dst): src = each node repeated k times, dst = its
+    k nearest neighbours — the edge set of graph_constructor.py:267-273
+    (`a = repeat(range(n), radius-1)`, `b = knn queries`)."""
+    idx, _ = knn_l2(features, k, mask)
+    n = features.shape[0]
+    src = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
+    dst = idx.reshape(-1).astype(jnp.int32)
+    return src, dst

@@ -1,0 +1,21 @@
+"""Mesh / sharding layer: data-parallel training, collective plumbing."""
+from .mesh import (
+    DATA_AXIS,
+    data_sharded,
+    make_mesh,
+    replicated,
+    shard_stacked,
+    stack_graphs,
+)
+from .dp import make_dp_train_step, place_state
+
+__all__ = [
+    "DATA_AXIS",
+    "data_sharded",
+    "make_mesh",
+    "replicated",
+    "shard_stacked",
+    "stack_graphs",
+    "make_dp_train_step",
+    "place_state",
+]

@@ -1,0 +1,73 @@
+"""Data-parallel training step over a device mesh.
+
+The per-device unit is one bucketed batch of slide graphs (the same
+TypedGraph the single-chip trainer consumes); a step takes the stacked
+[n_dev, ...] pytree, runs the full train step per shard via vmap, and lets
+XLA insert the gradient all-reduce over ICI (params/opt state replicated).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ..graph import TypedGraph, to_homogeneous, transforms
+from ..train.trainer import TrainState
+from .mesh import data_sharded, replicated
+
+
+def make_dp_train_step(
+    model,
+    tx,
+    loss_fcn: Callable,
+    is_hetero: bool,
+    mesh: Mesh,
+    augment: bool = True,
+) -> Callable:
+    """Compiled DP train step: (TrainState, stacked TypedGraph [n_dev, ...],
+    labels [n_dev, B], weights [n_dev, B]) -> (TrainState, loss, probs)."""
+
+    def step(state: TrainState, graphs: TypedGraph, labels, weights):
+        rng, aug_key, drop_key = jax.random.split(state.rng, 3)
+        n_dev = labels.shape[0]
+        aug_keys = jax.random.split(aug_key, n_dev)
+
+        def forward_one(params, g: TypedGraph, key):
+            g = g if is_hetero else to_homogeneous(g)
+            if augment:
+                g = transforms.train_transform(g, key)
+            return model.apply(
+                {"params": params}, g, train=True, rngs={"dropout": drop_key}
+            )
+
+        def loss_fn(params):
+            logits = jax.vmap(forward_one, in_axes=(None, 0, 0))(
+                params, graphs, aug_keys
+            )  # [n_dev, B, C]
+            flat_logits = logits.reshape(-1, logits.shape[-1])
+            loss = loss_fcn(flat_logits, labels.reshape(-1), weights.reshape(-1))
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(
+            params=new_params, opt_state=new_opt, rng=rng, step=state.step + 1
+        )
+        return new_state, loss, jax.nn.softmax(logits)
+
+    # Sharding is carried by input placement: the caller device_puts the
+    # TrainState with `replicated(mesh)` and the stacked batch with
+    # `data_sharded(mesh)` (see mesh.shard_stacked); jit propagates the
+    # shardings and inserts the gradient all-reduce over the mesh.
+    return jax.jit(step)
+
+
+def place_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Replicate training state across the mesh."""
+    rep = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, rep), state)

@@ -1,0 +1,70 @@
+"""Device mesh + sharding layer — the framework's single communication
+abstraction (SURVEY.md §2.4).
+
+The reference has no distributed layer beyond single-process
+`torch.nn.DataParallel` around the featurizer CNNs
+(/root/reference/construct_graph/graph_constructor.py:124,179). Here one
+`jax.sharding.Mesh` serves every parallel axis:
+
+  * data parallelism: slides/batches sharded over the 'data' axis, params
+    replicated, gradient all-reduce inserted by XLA (ICI collectives);
+  * featurizer patch-sharding: patch batches sharded the same way;
+  * (reserved) node-sharded big-graph mode for slides that exceed one
+    core's HBM — 'graph-context parallelism'.
+
+Everything works unchanged on a forced-host CPU mesh for testing.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..graph import TypedGraph
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested {n_devices} devices, only {len(devices)} available"
+            )
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharded(mesh: Mesh) -> NamedSharding:
+    """Shard the leading axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def stack_graphs(graphs: Sequence[TypedGraph]) -> TypedGraph:
+    """Stack equal-shape TypedGraphs along a new leading device axis.
+
+    The result is a TypedGraph whose arrays are [n_dev, ...]; models consume
+    it through `jax.vmap` with the leading axis sharded over the mesh —
+    pure data parallelism with zero resharding.
+    """
+    g0 = graphs[0]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *graphs)
+    return stacked.replace(
+        n_graphs=g0.n_graphs,
+        n_node_types=g0.n_node_types,
+        n_edge_types=g0.n_edge_types,
+    )
+
+
+def shard_stacked(stacked, mesh: Mesh):
+    """Place a stacked pytree with its leading axis sharded over the mesh."""
+    sh = data_sharded(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), stacked)

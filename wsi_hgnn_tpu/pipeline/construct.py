@@ -1,0 +1,162 @@
+"""Slide -> graph construction orchestration — the GraphConstructor /
+get_graph.py CONSTRUCT loop (/root/reference/construct_graph/
+graph_constructor.py:218-303, /root/reference/get_graph.py:252-294).
+
+Per slide: load its patch directory, run the configured encoder (KimiaNet /
+EfficientNet-B4 / HoVer-Net — see models.featurizers) for 1024-d features
+and PanNuke node types, build the KNN/Pearson typed graph on device, and
+write the reference's three outputs per slide under out_dir:
+heterogeneous/<slide>.npz, homogeneous/<slide>.npz, node_types/<slide>.npy.
+
+Encoders are pluggable callables `(patches [B,256,256,3] f32) ->
+(features [B, D], node_types [B] | None)`; 'precomputed' reads
+<slide>.features.npz from disk for feature-level workflows.
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+from ..data.datasets import save_graph_npz
+from ..graph import build_graph
+from .patches import iter_patch_batches, list_patches
+
+EncoderFn = Callable[[np.ndarray], Tuple[np.ndarray, Optional[np.ndarray]]]
+
+
+def random_encoder(dim: int = 1024, seed: int = 0, n_types: int = 6) -> EncoderFn:
+    """Deterministic pseudo-featurizer for tests/benchmarks (hash of pixel
+    sums seeds per-patch features)."""
+    def fn(patches: np.ndarray):
+        b = patches.shape[0]
+        feats = np.empty((b, dim), np.float32)
+        types = np.empty((b,), np.int32)
+        for i in range(b):
+            h = int(np.abs(patches[i]).sum() * 1000) % (2**31)
+            r = np.random.RandomState((seed + h) % (2**31))
+            feats[i] = r.randn(dim)
+            types[i] = r.randint(0, n_types)
+        return feats, types
+    return fn
+
+
+def make_encoder(name: str, config: Dict, hovernet_config: Dict, kimianet_config: Dict) -> EncoderFn:
+    """Encoder registry mirroring graph_constructor.py:237-254's dispatch on
+    `encoder_name` in {'hover', 'kimia', 'efficientnet-b4'}."""
+    if name == "random":
+        return random_encoder(config.get("feature_dim", 1024))
+    if name in ("kimia", "efficientnet-b4", "hover"):
+        from ..models.featurizers import make_cnn_encoder
+
+        return make_cnn_encoder(name, config, hovernet_config, kimianet_config)
+    raise NotImplementedError(f"encoder {name!r}")
+
+
+class GraphConstructor:
+    """Reference constructor contract: (graph_config, hovernet_config,
+    kimianet_config, wsi_patch_dir) -> .construct_graph() ->
+    (het_graph, homo_graph, node_types)."""
+
+    def __init__(self, config: Dict, hovernet_config: Dict, kimianet_config: Dict,
+                 wsi_data, encoder: Optional[EncoderFn] = None):
+        self.config = config
+        self.radius = config["radius"]
+        self.n_node_type = config.get("n_node_type", 6)
+        self.wsi_data = wsi_data
+
+        enc_name = config["encoder_name"]
+        encoder = encoder or make_encoder(enc_name, config, hovernet_config, kimianet_config)
+
+        if enc_name == "precomputed":
+            z = np.load(str(wsi_data) + ".features.npz")
+            self.features = z["features"].astype(np.float32)
+            self.node_type = z.get("node_types", np.zeros(len(self.features), np.int32))
+        else:
+            feats, types = [], []
+            paths = list_patches(wsi_data)
+            if not paths:
+                raise FileNotFoundError(f"no patches under {wsi_data}")
+            batch = int(hovernet_config.get("batch_size", 32) or 32)
+            for pb in iter_patch_batches(paths, batch):
+                f, t = encoder(pb)
+                feats.append(f)
+                types.append(
+                    t if t is not None else np.zeros(len(f), np.int32)
+                )
+            self.features = np.concatenate(feats)
+            self.node_type = np.concatenate(types)
+
+        # node types may instead come from a previous HoVer-Net pass on disk
+        node_type_dir = config.get("node_type_dir")
+        if node_type_dir and enc_name != "hover":
+            head, tail = os.path.split(str(wsi_data))
+            f = Path(node_type_dir) / (tail + ".npy")
+            if f.exists():
+                self.node_type = np.load(f)
+
+    def construct_graph(self):
+        het, homo = build_graph(
+            self.features,
+            self.node_type,
+            radius=self.radius,
+            n_node_types=self.n_node_type,
+        )
+        return het, homo, self.node_type
+
+
+def construct_all(graph_config: Dict, hovernet_config: Dict, kimianet_config: Dict,
+                  encoder: Optional[EncoderFn] = None, verbose: bool = True) -> int:
+    """The get_graph.py CONSTRUCT loop (get_graph.py:252-294): iterate every
+    slide patch dir under patch_path, skip existing outputs, swallow
+    per-slide failures (robustness-by-skip, SURVEY.md §5). Returns the
+    number of slides written."""
+    import glob as _glob
+
+    out_dir = Path(graph_config["out_dir"])
+    (out_dir / "heterogeneous").mkdir(parents=True, exist_ok=True)
+    (out_dir / "homogeneous").mkdir(parents=True, exist_ok=True)
+    (out_dir / "node_types").mkdir(parents=True, exist_ok=True)
+
+    patch_dirs = sorted(_glob.glob(str(graph_config["patch_path"]) + "*/*"))
+    written = 0
+    for i, wsi_input in enumerate(patch_dirs):
+        if verbose:
+            print(f"Processing {i + 1} / {len(patch_dirs)}")
+        try:
+            tail = os.path.split(wsi_input)[1]
+            het_file = out_dir / "heterogeneous" / (tail + ".npz")
+            homo_file = out_dir / "homogeneous" / (tail + ".npz")
+            if het_file.exists() or homo_file.exists():
+                continue
+            gc = GraphConstructor(
+                graph_config, hovernet_config, kimianet_config, wsi_input,
+                encoder=encoder,
+            )
+            het, homo, node_type = gc.construct_graph()
+
+            def dump(g, path, is_hetero):
+                n = int(np.asarray(g.node_mask).sum())
+                e = int(np.asarray(g.edge_mask).sum())
+                save_graph_npz(
+                    path,
+                    np.asarray(g.feat)[:n],
+                    np.asarray(g.src)[:e], np.asarray(g.dst)[:e],
+                    node_type=np.asarray(g.node_type)[:n],
+                    esign=np.asarray(g.esign)[:e],
+                    sim=np.asarray(g.sim)[:e],
+                    n_node_types=g.n_node_types,
+                    is_hetero=is_hetero,
+                )
+            dump(het, het_file, True)
+            dump(homo, homo_file, False)
+            np.save(out_dir / "node_types" / (tail + ".npy"), node_type)
+            written += 1
+            if verbose:
+                print(f"Graphs saved for {tail}")
+        except (ValueError, KeyError, IndexError, RuntimeError, FileNotFoundError) as e:
+            if verbose:
+                print(f"Failed to construct graph ({e}), moves to next WSI image")
+    return written

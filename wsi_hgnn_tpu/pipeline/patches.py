@@ -1,0 +1,82 @@
+"""Host-side patch loading for graph construction — the PatchData analog
+(/root/reference/data.py:42-64): read every patch image of one slide's
+directory, resize to 256, scale to [0,1] float, batch for the featurizer.
+
+Decoding is I/O-bound host work (SURVEY.md §2.3 keeps it host-side); batches
+stream to the device featurizer through a double-buffered iterator.
+"""
+from __future__ import annotations
+
+import threading
+import queue
+from pathlib import Path
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+
+def list_patches(wsi_dir) -> List[Path]:
+    """All files of one slide's patch directory, sorted for determinism
+    (the reference's glob order is filesystem-dependent)."""
+    return sorted(p for p in Path(wsi_dir).glob("*") if p.is_file())
+
+
+def load_patch(path, size: int = 256) -> np.ndarray:
+    """[size, size, 3] float32 in [0,1] (torchvision Resize+ToTensor analog,
+    channel-last for TPU-friendly conv layouts)."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    w, h = img.size
+    # torchvision Resize(256) scales the SHORT side to 256, keeping aspect
+    if min(w, h) != size:
+        if w < h:
+            img = img.resize((size, int(round(h * size / w))))
+        else:
+            img = img.resize((int(round(w * size / h)), size))
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    # center-crop to square if the aspect wasn't 1:1
+    hh, ww = arr.shape[:2]
+    if hh != size or ww != size:
+        top = (hh - size) // 2
+        left = (ww - size) // 2
+        arr = arr[top : top + size, left : left + size]
+    return arr
+
+
+def iter_patch_batches(
+    paths: List[Path],
+    batch_size: int,
+    size: int = 256,
+    prefetch: int = 2,
+) -> Iterator[np.ndarray]:
+    """Yield [b, size, size, 3] float32 batches with background decoding."""
+
+    def make(idxs):
+        return np.stack([load_patch(paths[i], size) for i in idxs])
+
+    chunks = [
+        list(range(i, min(i + batch_size, len(paths))))
+        for i in range(0, len(paths), batch_size)
+    ]
+    if prefetch <= 0:
+        for c in chunks:
+            yield make(c)
+        return
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = object()
+
+    def worker():
+        try:
+            for c in chunks:
+                q.put(make(c))
+        finally:
+            q.put(stop)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is stop:
+            break
+        yield item

@@ -1,0 +1,109 @@
+"""Explainer tests: planted-signal recovery + geometry golden tests."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wsi_hgnn_tpu.explain import (
+    GemExplainer,
+    GNNExplainer,
+    HetGemExplainer,
+    points_in_polygon,
+)
+from wsi_hgnn_tpu.graph import from_arrays, ops, to_homogeneous
+from wsi_hgnn_tpu import models
+
+
+def planted_graph(n=20, d=8, seed=0, n_signal=4):
+    """Graph whose class evidence lives in the first `n_signal` nodes."""
+    rng = np.random.RandomState(seed)
+    feat = rng.randn(n, d).astype(np.float32) * 0.1
+    feat[:n_signal] += 3.0  # signal nodes
+    e = 3 * n
+    src = rng.randint(0, n, e)
+    dst = rng.randint(0, n, e)
+    g = from_arrays(feat, src, dst, node_type=rng.randint(0, 3, n),
+                    esign=rng.randint(0, 2, e), sim=rng.randn(e),
+                    n_node_types=3, node_capacity=32, edge_capacity=128,
+                    add_self_loops=True)
+    return g
+
+
+def make_model_fn(g):
+    model = models.GCN(8, 16, 2, 2, graph_pooling_type="mean")
+    gh = to_homogeneous(g)
+    params = model.init(jax.random.PRNGKey(1), gh)
+
+    def model_fn(graph, feat_override=None):
+        if feat_override is not None:
+            graph = graph.replace(feat=feat_override)
+        return model.apply(params, to_homogeneous(graph), train=False)
+
+    return model_fn
+
+
+def test_edge_weight_masks_messages():
+    g = planted_graph()
+    h = np.asarray(ops.copy_u_sum(g, g.feat))
+    g0 = g.replace(edge_weight=jnp.zeros(g.num_edges))
+    h0 = np.asarray(ops.copy_u_sum(g0, g.feat))
+    assert np.allclose(h0, 0)
+    ghalf = g.replace(edge_weight=jnp.full(g.num_edges, 0.5))
+    hh = np.asarray(ops.copy_u_sum(ghalf, g.feat))
+    np.testing.assert_allclose(hh, h * 0.5, rtol=1e-6)
+
+
+def test_gnn_explainer_runs_and_masks_in_range():
+    g = planted_graph()
+    model_fn = make_model_fn(g)
+    explainer = GNNExplainer(g, model_fn, num_hops=1, epochs=20)
+    out_g, node_mask = explainer.explain_node(None)
+    assert node_mask.shape == (20,)
+    assert np.all((node_mask >= 0) & (node_mask <= 1))
+    assert out_g.edge_weight is not None
+    # masks actually moved away from initialisation (optimisation happened)
+    assert node_mask.std() > 1e-4
+
+
+def test_gem_explainer_finds_signal_nodes():
+    g = planted_graph()
+    model_fn = make_model_fn(g)
+    logits = model_fn(g)
+    label = int(np.asarray(logits).argmax())
+    gem = GemExplainer(g, lambda gr: model_fn(gr), label, batch_size=8)
+    mask = gem.explain_node()
+    assert mask.shape == (20,)
+    assert mask.min() == 0.0 and mask.max() == 1.0  # min-max normalised
+    # the reference formula CE(pred - pred_alt, label) (GEM.py:47) gives
+    # influential nodes a LOW delta (removing them drops the label logit,
+    # making the difference vector favour the label); assert the signal
+    # group is cleanly separated from the background group either way
+    assert abs(mask[:4].mean() - mask[4:].mean()) > 0.2
+
+
+def test_het_gem_explainer_groups_by_type():
+    g = planted_graph()
+    model_fn = make_model_fn(g)
+    label = int(np.asarray(model_fn(g)).argmax())
+    gem = HetGemExplainer(g, lambda gr: model_fn(gr), label, batch_size=8)
+    # edges collapsed to 'pos'
+    assert int(np.asarray(gem.graph.esign).min()) == 1
+    by_type = gem.explain_node()
+    ntypes = np.asarray(g.node_type)[:20]
+    for t in range(3):
+        assert by_type[str(t)].shape == ((ntypes == t).sum(),)
+    flat = gem.flat_scores()
+    assert flat.shape == (20,)
+
+
+def test_points_in_polygon_golden():
+    square = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    pts = np.array([[5, 5], [15, 5], [-1, -1], [9.99, 9.99], [5, 20]], float)
+    inside = points_in_polygon(pts, square)
+    np.testing.assert_array_equal(inside, [True, False, False, True, False])
+    # concave polygon
+    concave = np.array([[0, 0], [10, 0], [10, 10], [5, 5], [0, 10]], float)
+    pts = np.array([[5, 8], [2, 6], [8, 6]], float)
+    inside = points_in_polygon(pts, concave)
+    np.testing.assert_array_equal(inside, [False, True, True])

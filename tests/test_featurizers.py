@@ -1,0 +1,226 @@
+"""Featurizer tests.
+
+The HoVer-Net test is an ACTIVATION-LEVEL parity check (SURVEY.md §7 hard
+part 3): the reference torch implementation (loaded directly from
+/root/reference as an oracle, skipped when unavailable) and our Flax
+re-implementation + state-dict converter must produce matching tp/np/hv
+maps and fc1 features on the same random input and random weights.
+"""
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wsi_hgnn_tpu.models.featurizers import (
+    DenseNet121,
+    EfficientNet,
+    EffNetV2,
+    HoVerNet,
+    KimiaNet,
+    convert,
+    node_types_from_tp,
+)
+
+REF_HOVERNET = "/root/reference/models/hovernet"
+
+
+def _load_ref_hovernet():
+    if not os.path.isdir(REF_HOVERNET):
+        pytest.skip("reference hovernet not available")
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("matplotlib")
+    pkg = types.ModuleType("refhov")
+    pkg.__path__ = [REF_HOVERNET]
+    sys.modules.setdefault("refhov", pkg)
+
+    def load(name):
+        if f"refhov.{name}" in sys.modules:
+            return sys.modules[f"refhov.{name}"]
+        spec = importlib.util.spec_from_file_location(
+            f"refhov.{name}", os.path.join(REF_HOVERNET, f"{name}.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"refhov.{name}"] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    load("utils")
+    load("net_utils")
+    return load("net_desc"), torch
+
+
+@pytest.mark.slow
+def test_hovernet_activation_parity_with_reference():
+    net_desc, torch = _load_ref_hovernet()
+    tnet = net_desc.create_model(mode="fast", nr_types=6)
+    tnet.eval()
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+
+    model = HoVerNet(nr_types=6, mode="fast")
+    x = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    # NOTE: 64x64 fast-mode input -> crop arithmetic still holds? The crops
+    # (92/36) require >=256 inputs; use the real 256 size.
+    x = np.random.RandomState(0).rand(1, 256, 256, 3).astype(np.float32)
+
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = convert.merge_into(variables, convert.hovernet_torch_to_flax(sd, 6))
+    out, feats = model.apply(variables, jnp.asarray(x), train=False)
+
+    with torch.no_grad():
+        t_out, t_feats = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    # random-init logits reach |x| ~ 3e3; fp32 accumulation-order noise is
+    # ~1e-2 absolute, i.e. relative ~1e-5 — atol must scale with magnitude
+    for k in ("tp", "np", "hv"):
+        ours = np.asarray(out[k])
+        theirs = t_out[k].numpy().transpose(0, 2, 3, 1)
+        assert ours.shape == theirs.shape, (k, ours.shape, theirs.shape)
+        scale = np.abs(theirs).max()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4 * scale)
+    t_f = t_feats.numpy()
+    np.testing.assert_allclose(
+        np.asarray(feats), t_f, rtol=1e-3, atol=1e-4 * np.abs(t_f).max()
+    )
+
+
+def test_hovernet_shapes_fast():
+    model = HoVerNet(nr_types=6, mode="fast")
+    x = jnp.zeros((1, 256, 256, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out, feats = model.apply(variables, x, train=False)
+    assert out["tp"].shape == (1, 164, 164, 6)
+    assert out["np"].shape == (1, 164, 164, 2)
+    assert out["hv"].shape == (1, 164, 164, 2)
+    assert feats.shape == (1, 1024)
+
+
+def test_node_types_from_tp():
+    tp = np.zeros((2, 4, 4, 6), np.float32)
+    # patch 0: all background (class 0 highest everywhere)
+    tp[0, :, :, 0] = 1.0
+    # patch 1: mostly class 3, some class 2
+    tp[1, :, :, 0] = 0.1
+    tp[1, :2, :, 3] = 1.0
+    tp[1, 2, 0, 2] = 1.0
+    tp[1, 2:, 1:, 0] = 1.0
+    types = node_types_from_tp(tp)
+    assert types[0] == 0
+    assert types[1] == 3
+
+
+def test_kimianet_output_dims():
+    model = KimiaNet()
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out_1, out_3 = model.apply(variables, x, train=False)
+    assert out_1.shape == (1, 1024)  # densenet121 final features
+    assert out_3.shape == (1, 512)
+
+
+def test_kimianet_zip_load_roundtrip():
+    """The zip-ordered KimiaNet loader must fill every backbone tensor."""
+    model = KimiaNet()
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    # fabricate a checkpoint with arbitrary keys but torchvision ordering
+    order = convert.densenet121_key_order()
+    rng = np.random.RandomState(0)
+
+    def shape_for(key, kind):
+        # derive shapes from our own flax tree via the named converter
+        return None
+
+    # build a name->value dict by converting the flax init tree back is
+    # complex; instead synthesise values with the correct shapes by reading
+    # them from a forward converter pass over a fake torchvision sd.
+    import collections
+
+    fake_sd = collections.OrderedDict()
+    # walk flax tree to get shapes per torchvision key
+    p = variables["params"]["backbone"]
+    s = variables["batch_stats"]["backbone"]
+
+    def bn_entries(prefix, node_p, node_s):
+        fake_sd[prefix + ".weight"] = np.asarray(node_p["scale"])
+        fake_sd[prefix + ".bias"] = rng.randn(*node_p["bias"].shape).astype(np.float32)
+        fake_sd[prefix + ".running_mean"] = rng.randn(*node_s["mean"].shape).astype(np.float32)
+        fake_sd[prefix + ".running_var"] = np.abs(rng.randn(*node_s["var"].shape)).astype(np.float32)
+        fake_sd[prefix + ".num_batches_tracked"] = np.asarray(0)
+
+    def conv_entry(key, node):
+        k = np.asarray(node["kernel"])  # HWIO
+        fake_sd[key] = rng.randn(*np.transpose(k, (3, 2, 0, 1)).shape).astype(np.float32)
+
+    conv_entry("features.conv0.weight", p["conv0"])
+    bn_entries("features.norm0", p["norm0"], s["norm0"])
+    for bi, n in enumerate((6, 12, 24, 16), start=1):
+        for li in range(1, n + 1):
+            fp = p[f"denseblock{bi}_layer{li}"]
+            fs = s[f"denseblock{bi}_layer{li}"]
+            bn_entries(f"features.denseblock{bi}.denselayer{li}.norm1", fp["norm1"], fs["norm1"])
+            conv_entry(f"features.denseblock{bi}.denselayer{li}.conv1.weight", fp["conv1"])
+            bn_entries(f"features.denseblock{bi}.denselayer{li}.norm2", fp["norm2"], fs["norm2"])
+            conv_entry(f"features.denseblock{bi}.denselayer{li}.conv2.weight", fp["conv2"])
+        if bi != 4:
+            bn_entries(f"features.transition{bi}.norm", p[f"transition{bi}"]["norm"], s[f"transition{bi}"]["norm"])
+            conv_entry(f"features.transition{bi}.conv.weight", p[f"transition{bi}"]["conv"])
+    bn_entries("features.norm5", p["norm5"], s["norm5"])
+    fake_sd["fc_4.weight"] = rng.randn(512, 1024).astype(np.float32)
+    fake_sd["fc_4.bias"] = rng.randn(512).astype(np.float32)
+
+    # ordering sanity: keys must match the canonical order exactly
+    canonical = [k for k, _ in convert.densenet121_key_order()]
+    assert list(fake_sd.keys())[: len(canonical)] == canonical
+
+    # save via torch and load through the real path
+    torch = pytest.importorskip("torch")
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".pth", delete=False) as f:
+        # arbitrary RENAMED keys to prove the zip-load ignores names
+        renamed = {f"module.model.0.xxx{i}": torch.from_numpy(np.asarray(v))
+                   for i, v in enumerate(fake_sd.values())}
+        torch.save(renamed, f.name)
+        trees = convert.load_kimianet(f.name)
+
+    merged = convert.merge_into(variables, trees)
+    # the fabricated bias made it into the merged tree
+    np.testing.assert_allclose(
+        merged["params"]["backbone"]["norm0"]["bias"],
+        fake_sd["features.norm0.bias"],
+    )
+    np.testing.assert_allclose(
+        merged["params"]["fc_4"]["bias"], fake_sd["fc_4.bias"]
+    )
+    # conv weights transposed OIHW -> HWIO
+    got = merged["params"]["backbone"]["conv0"]["kernel"]
+    np.testing.assert_allclose(
+        got, np.transpose(fake_sd["features.conv0.weight"], (2, 3, 1, 0))
+    )
+    # (no forward-finiteness check: 121 layers of N(0,1) fabricated weights
+    # legitimately overflow fp32)
+
+
+def test_efficientnet_b4_dims():
+    model = EfficientNet.from_name("efficientnet-b4", num_classes=1024)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 1024)
+    # B4 block count = sum(ceil(1.8 * r)) over B0 stages = 32
+    assert sum(1 for k in variables["params"] if k.startswith("block")) == 32
+
+
+def test_effnetv2_s_runs():
+    model = EffNetV2.s(num_classes=10)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 10)

@@ -69,8 +69,19 @@ def edge_softmax_by_dst_rel(g: TypedGraph, scores: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------- #
 # message passing aggregation
 # ---------------------------------------------------------------------- #
+def _apply_edge_weight(g: TypedGraph, edge_vals: jax.Array) -> jax.Array:
+    """Multiply messages by the optional explainer edge mask (TypedGraph
+    .edge_weight) — the reference's mask_message UDF
+    (gnn_explainer.py:21-26)."""
+    if g.edge_weight is None:
+        return edge_vals
+    w = g.edge_weight.reshape((-1,) + (1,) * (edge_vals.ndim - 1))
+    return edge_vals * w
+
+
 def copy_e_sum(g: TypedGraph, edge_vals: jax.Array) -> jax.Array:
     """sum_e->dst of per-edge values. [E, ...] -> [N, ...]."""
+    edge_vals = _apply_edge_weight(g, edge_vals)
     m = g.edge_mask
     ev = jnp.where(m.reshape((-1,) + (1,) * (edge_vals.ndim - 1)), edge_vals, 0.0)
     return jax.ops.segment_sum(ev, g.dst, num_segments=g.num_nodes)
@@ -97,7 +108,7 @@ def copy_u_mean(g: TypedGraph, node_vals: jax.Array) -> jax.Array:
 
 def copy_u_max(g: TypedGraph, node_vals: jax.Array) -> jax.Array:
     """dst_n <- max over in-edges of src value; 0 where in-degree is 0."""
-    msgs = node_vals[g.src]
+    msgs = _apply_edge_weight(g, node_vals[g.src])
     m = g.edge_mask.reshape((-1,) + (1,) * (msgs.ndim - 1))
     msgs = jnp.where(m, msgs, _NEG_INF)
     out = jax.ops.segment_max(msgs, g.dst, num_segments=g.num_nodes)

@@ -57,6 +57,13 @@ class TypedGraph:
     sim: jax.Array         # [E] float — Pearson correlation edge weight
     edge_mask: jax.Array   # [E] bool — True for real edges
 
+    # --- optional per-edge message multiplier (explainers) ---
+    # When set ([E] float), every message aggregation multiplies messages by
+    # it — the TPU-native equivalent of the reference GNNExplainer's
+    # `update_all` hijack that masks messages before reduction
+    # (/root/reference/explainers/gnn_explainer.py:21-33,:156-157).
+    edge_weight: Optional[jax.Array] = None
+
     # --- static metadata (compile-time constants) ---
     n_graphs: int = struct.field(pytree_node=False, default=1)
     n_node_types: int = struct.field(pytree_node=False, default=1)

@@ -1,0 +1,107 @@
+"""CNN featurizers (Flax, NHWC) + torch checkpoint converters + the
+encoder registry the graph-construction pipeline consumes."""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from .densenet import DenseNet121, KimiaNet
+from .efficientnet import EfficientNet
+from .effnetv2 import EffNetV2
+from .hovernet import HoVerNet, node_types_from_tp
+from . import convert
+
+__all__ = [
+    "DenseNet121", "KimiaNet", "EfficientNet", "EffNetV2", "HoVerNet",
+    "node_types_from_tp", "convert", "make_cnn_encoder",
+]
+
+
+def make_cnn_encoder(name: str, config: Dict, hovernet_config: Dict,
+                     kimianet_config: Dict):
+    """Build an `(patches [B,256,256,3] f32) -> (features, node_types)`
+    encoder, mirroring GraphConstructor.__init__'s dispatch
+    (/root/reference/construct_graph/graph_constructor.py:237-254).
+
+    'hover'            -> HoVer-Net: features = fc1 bottleneck, node types
+                          from the tp map;
+    'kimia'            -> KimiaNet 1024-d out_1 (node types from a separate
+                          HoVer-Net pass or node_type_dir);
+    'efficientnet-b4'  -> EfficientNet-B4 1024-d fc output.
+
+    Checkpoints are loaded when the corresponding *_model_path exists;
+    otherwise the encoder runs from random init (documented degradation —
+    this environment ships no pretrained weights).
+    """
+    import jax
+    import jax.numpy as jnp
+    import os
+
+    feat_dim = int(config.get("feature_dim", 1024))
+    nr_types = int(config.get("n_node_type", 6))
+
+    if name == "hover":
+        model = HoVerNet(nr_types=nr_types, mode=hovernet_config.get("mode", "fast"))
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3), jnp.float32)
+        )
+        ckpt = hovernet_config.get("hovernet_model_path")
+        if ckpt and os.path.exists(str(ckpt)):
+            sd = convert.load_torch_state_dict(ckpt)
+            variables = convert.merge_into(
+                variables, convert.hovernet_torch_to_flax(sd, nr_types)
+            )
+
+        @jax.jit
+        def fwd(imgs):
+            out, feats = model.apply(variables, imgs, train=False)
+            return out["tp"], feats
+
+        def encode(patches: np.ndarray):
+            tp, feats = fwd(jnp.asarray(patches))
+            return np.asarray(feats), node_types_from_tp(np.asarray(tp), nr_types)
+
+        return encode
+
+    if name == "kimia":
+        model = KimiaNet()
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3), jnp.float32)
+        )
+        ckpt = kimianet_config.get("kimianet_model_path")
+        if ckpt and os.path.exists(str(ckpt)):
+            variables = convert.merge_into(variables, convert.load_kimianet(ckpt))
+
+        @jax.jit
+        def fwd(imgs):
+            out_1, _ = model.apply(variables, imgs, train=False)
+            return out_1
+
+        def encode(patches: np.ndarray):
+            return np.asarray(fwd(jnp.asarray(patches))), None
+
+        return encode
+
+    if name == "efficientnet-b4":
+        model = EfficientNet.from_name("efficientnet-b4", num_classes=feat_dim)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3), jnp.float32)
+        )
+        ckpt = config.get("efficientnet_model_path")
+        if ckpt and os.path.exists(str(ckpt)):
+            sd = convert.load_torch_state_dict(ckpt)
+            variables = convert.merge_into(
+                variables, convert.efficientnet_torch_to_flax(sd)
+            )
+
+        @jax.jit
+        def fwd(imgs):
+            return model.apply(variables, imgs, train=False)
+
+        def encode(patches: np.ndarray):
+            return np.asarray(fwd(jnp.asarray(patches))), None
+
+        return encode
+
+    raise NotImplementedError(f"encoder {name!r}")

@@ -1,0 +1,169 @@
+"""MIL tier tests: shapes, masking invariance, k-means, ReMix semantics."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wsi_hgnn_tpu.models.mil import (
+    ABMIL,
+    DSMIL,
+    GatedABMIL,
+    GraphTransformer,
+    H2MIL,
+    TreeGraph,
+    dense_mincut_pool,
+    graphcam,
+    kmeans,
+    mix_aug,
+    pad_bag,
+    reduce_bag,
+)
+
+
+def bag(n=30, d=16, seed=0, cap=64):
+    rng = np.random.RandomState(seed)
+    feats = rng.randn(n, d).astype(np.float32)
+    padded, mask = pad_bag(feats, capacity=cap)
+    return feats, jnp.asarray(padded), jnp.asarray(mask)
+
+
+def test_abmil_padding_invariance():
+    feats, padded, mask = bag()
+    model = ABMIL(num_classes=2)
+    params = model.init(jax.random.PRNGKey(0), padded, mask)
+    out_padded = model.apply(params, padded, mask)
+    out_exact = model.apply(params, jnp.asarray(feats), None)
+    np.testing.assert_allclose(np.asarray(out_padded), np.asarray(out_exact),
+                               rtol=1e-5, atol=1e-6)
+    assert out_padded.shape == (1, 2)
+
+
+def test_gated_abmil_runs():
+    feats, padded, mask = bag()
+    model = GatedABMIL()
+    params = model.init(jax.random.PRNGKey(0), padded, mask)
+    prob, a = model.apply(params, padded, mask)
+    assert prob.shape == (1, 1)
+    assert 0 <= float(np.asarray(prob).reshape(())) <= 1
+    a = np.asarray(a)
+    assert a[~np.asarray(mask)].sum() == 0  # no attention on padding
+
+
+def test_dsmil_padding_invariance():
+    feats, padded, mask = bag()
+    model = DSMIL(num_classes=2)
+    params = model.init(jax.random.PRNGKey(0), padded, mask)
+    cls_p, bag_p, a_p, b_p = model.apply(params, padded, mask)
+    cls_e, bag_e, a_e, b_e = model.apply(params, jnp.asarray(feats), None)
+    np.testing.assert_allclose(np.asarray(bag_p), np.asarray(bag_e), rtol=1e-5, atol=1e-6)
+    assert bag_p.shape == (1, 2)
+    # instance scores of real rows match
+    np.testing.assert_allclose(np.asarray(cls_p)[:30], np.asarray(cls_e), rtol=1e-5, atol=1e-6)
+
+
+def test_kmeans_converges_on_blobs():
+    rng = np.random.RandomState(0)
+    blobs = np.concatenate([
+        rng.randn(50, 8) + 10, rng.randn(50, 8) - 10, rng.randn(50, 8)
+    ]).astype(np.float32)
+    cent, assign = kmeans(jnp.asarray(blobs), 3, iters=10)
+    assign = np.asarray(assign)
+    # each blob is a single cluster
+    for s in (slice(0, 50), slice(50, 100), slice(100, 150)):
+        assert len(np.unique(assign[s])) == 1
+    assert len(np.unique(assign)) == 3
+
+
+def test_reduce_bag_and_mix_aug():
+    rng = np.random.RandomState(1)
+    feats = rng.randn(100, 8).astype(np.float32)
+    protos, shifts = reduce_bag(feats, num_prototypes=4, num_shift_vectors=16)
+    assert protos.shape == (4, 8)
+    assert shifts.shape == (4, 16, 8)
+
+    tgt = rng.randn(4, 8).astype(np.float32)
+    out = mix_aug(feats, tgt, mode="replace", rate=1.0, rng=np.random.RandomState(0))
+    assert out.shape == (100, 8)  # replace keeps the count
+    # every row replaced by its closest target
+    d2 = ((feats[:, None] - tgt[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(out, tgt[d2.argmin(1)])
+    out2 = mix_aug(feats, tgt, mode="append", rate=1.0, rng=np.random.RandomState(0))
+    assert out2.shape == (200, 8)  # append doubles
+    out3 = mix_aug(feats, tgt, mode="cov", rate=1.0, shift=shifts,
+                   rng=np.random.RandomState(0))
+    assert out3.shape[0] == 200
+
+
+def test_graph_transformer_shapes_and_losses():
+    rng = np.random.RandomState(2)
+    b, n, d = 2, 40, 32
+    x = jnp.asarray(rng.randn(b, n, d).astype(np.float32))
+    adj = jnp.asarray((rng.rand(b, n, n) < 0.1).astype(np.float32))
+    mask = jnp.asarray(np.arange(n)[None, :] < np.array([30, 40])[:, None])
+    model = GraphTransformer(n_class=2, in_dim=d, embed_dim=16, node_cluster_num=8)
+    params = model.init(jax.random.PRNGKey(0), x, adj, mask)
+    logits, aux_loss = model.apply(params, x, adj, mask)
+    assert logits.shape == (2, 2)
+    assert np.isfinite(float(aux_loss))
+    cam = graphcam(model, params, x[:1], adj[:1], mask[:1], class_idx=0)
+    assert cam.shape == (n,)
+    assert np.all(np.isfinite(np.asarray(cam)))
+
+
+def test_dense_mincut_pool_golden():
+    # one graph, uniform assignment -> pooled X is mean-like
+    x = jnp.ones((1, 4, 3))
+    adj = jnp.ones((1, 4, 4)) - jnp.eye(4)
+    s = jnp.zeros((1, 4, 2))  # uniform softmax -> 0.5 each
+    mask = jnp.ones((1, 4), bool)
+    xp, ap, mc, o = dense_mincut_pool(x, adj, s, mask)
+    np.testing.assert_allclose(np.asarray(xp), np.full((1, 2, 3), 2.0), rtol=1e-6)
+    assert np.isfinite(float(mc)) and np.isfinite(float(o))
+
+
+def make_tree_graph(seed=0, n1=12, n2=48, d=16, cap=128, e_cap=512):
+    """Thumbnail(1) + level-1(n1) + level-2(n2) tree with 4 children each."""
+    rng = np.random.RandomState(seed)
+    n = 1 + n1 + n2
+    feats = rng.randn(n, d).astype(np.float32)
+    ntype = np.array([0] + [1] * n1 + [2] * n2, np.int32)
+    tree = np.zeros(n, np.int32)
+    tree[1 : 1 + n1] = 0
+    for i in range(n2):
+        tree[1 + n1 + i] = 1 + (i % n1)
+    xy = rng.rand(n, 2).astype(np.float32)
+    src, dst = [], []
+    for i in range(n):  # tree edges both ways + self loops
+        src += [i, tree[i], i]
+        dst += [tree[i], i, i]
+    src, dst = np.array(src, np.int32), np.array(dst, np.int32)
+    e = len(src)
+
+    def pad(a, cap, fill=0):
+        out = np.full((cap,) + a.shape[1:], fill, a.dtype)
+        out[: len(a)] = a
+        return out
+
+    return TreeGraph(
+        feats=jnp.asarray(pad(feats, cap)),
+        src=jnp.asarray(pad(src, e_cap)),
+        dst=jnp.asarray(pad(dst, e_cap)),
+        node_type=jnp.asarray(pad(ntype, cap)),
+        tree=jnp.asarray(pad(tree, cap)),
+        xy=jnp.asarray(pad(xy, cap)),
+        node_mask=jnp.asarray(np.arange(cap) < n),
+        edge_mask=jnp.asarray(np.arange(e_cap) < e),
+    )
+
+
+def test_h2mil_runs_and_is_finite():
+    g = make_tree_graph()
+    model = H2MIL(hidden_dim=32, n_classes=2, k1=4, k2=16)
+    params = model.init(jax.random.PRNGKey(0), g)
+    logits = model.apply(params, g, train=False)
+    assert logits.shape == (1, 2)
+    assert np.all(np.isfinite(np.asarray(logits)))
+    # jit-compiles (static shapes end to end)
+    jl = jax.jit(lambda p, gg: model.apply(p, gg))(params, g)
+    np.testing.assert_allclose(np.asarray(jl), np.asarray(logits), rtol=1e-5)

@@ -1,0 +1,246 @@
+"""H2MIL — hierarchical heterogeneous-graph MIL over multi-resolution trees.
+
+Re-design of /root/reference/baselines/H2MIL/code/{RAConv,IHPool,
+main_baselines_kfold}.py for fixed shapes:
+
+  * `RAConvLayer` keeps the reference's two-level attention exactly
+    (RAConv.py:24-185): per-edge GAT logits softmaxed within each
+    (dst node, source-resolution-type) group, multiplied by a
+    resolution-level attention over the per-(dst, src-type) mean aggregates,
+    then summed into the destination.
+  * `IHPool` is re-designed with FIXED cluster budgets: the reference picks
+    data-dependent numbers of cluster centres by evenly-spaced fitness order
+    statistics and loops per substructure (IHPool.py:97-230) — shapes change
+    every call, which XLA cannot compile. Here each resolution level gets a
+    static budget K_l; centres are the same evenly-spaced fitness quantiles,
+    assignment is nearest (x, y, fitness) centre with a hierarchy penalty
+    forcing level-2 nodes into their parent's cluster, and features/coords
+    pool by segment mean. Padding clusters are masked out.
+  * `H2MIL` is the GCN head (main_baselines_kfold.py:31-100): RAConv ->
+    pool -> mean-pool readout, twice, summed, through a 2-layer classifier.
+
+Inputs use the flat arrays of the reference's PyG Data: feats [N, D],
+(src, dst) tree-adjacency edges, node_type [N] in {0, 1, 2} (resolution
+level), tree [N] (parent index), xy [N, 2], plus masks.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...graph import ops as gops
+
+_NEG_INF = -1e30
+_N_RES = 3  # resolution levels {thumbnail 0, low 1, high 2}
+
+
+class TreeGraph(NamedTuple):
+    feats: jax.Array      # [N, D]
+    src: jax.Array        # [E]
+    dst: jax.Array        # [E]
+    node_type: jax.Array  # [N] resolution level
+    tree: jax.Array       # [N] parent node index (thumbnail -> itself)
+    xy: jax.Array         # [N, 2]
+    node_mask: jax.Array  # [N]
+    edge_mask: jax.Array  # [E]
+
+
+class RAConvLayer(nn.Module):
+    """Resolution-aware attention convolution (RAConv.py:24-185)."""
+
+    features: int
+    heads: int = 1
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, g: TreeGraph, x: jax.Array, train: bool = False) -> jax.Array:
+        h, c = self.heads, self.features
+        n = x.shape[0]
+        lin = nn.Dense(h * c, use_bias=False, name="lin_l")
+        xl = lin(x).reshape(n, h, c)
+        att_l = self.param("att_l", nn.initializers.glorot_uniform(), (1, h, c))
+        att_r = self.param("att_r", nn.initializers.glorot_uniform(), (1, h, c))
+        alpha_l = (xl * att_l).sum(-1)  # [N, H]
+        alpha_r = (xl * att_r).sum(-1)
+
+        # node-level attention grouped by (dst, src resolution type)
+        # (RAConv.py:118 `new_index = start_node_type + edge_index[1]*3`)
+        stype = g.node_type[g.src]
+        group = g.dst * _N_RES + stype  # [E]
+        logits = nn.leaky_relu(
+            alpha_l[g.src] + alpha_r[g.dst], negative_slope=self.negative_slope
+        )
+        alpha = gops.segment_softmax(
+            logits, group, num_segments=n * _N_RES, mask=g.edge_mask
+        )  # [E, H]
+
+        # resolution-level aggregates: mean of raw x per (dst, src type)
+        ew = g.edge_mask.astype(x.dtype)
+        t_sum = jax.ops.segment_sum(
+            x[g.src] * ew[:, None], group, num_segments=n * _N_RES
+        )
+        t_cnt = jax.ops.segment_sum(ew, group, num_segments=n * _N_RES)
+        t_x = t_sum / jnp.maximum(t_cnt, 1.0)[:, None]  # [N*3, D]
+
+        t_lin = nn.Dense(h * c, use_bias=False, name="t_lin_l")
+        t_att_l = self.param("t_att_l", nn.initializers.glorot_uniform(), (1, h, c))
+        t_att_r = self.param("t_att_r", nn.initializers.glorot_uniform(), (1, h, c))
+        t_src = t_lin(t_x).reshape(n * _N_RES, h, c)
+        t_dst = t_lin(x).reshape(n, h, c)
+        t_logits = nn.leaky_relu(
+            (t_src * t_att_l).sum(-1)
+            + jnp.repeat((t_dst * t_att_r).sum(-1), _N_RES, axis=0),
+            negative_slope=self.negative_slope,
+        )  # [N*3, H]
+        group_nodes = jnp.repeat(jnp.arange(n), _N_RES)
+        t_alpha = gops.segment_softmax(
+            t_logits, group_nodes, num_segments=n, mask=t_cnt > 0
+        )  # [N*3, H]
+
+        coeff = alpha * t_alpha[group]  # [E, H]
+        msgs = xl[g.src] * coeff[:, :, None]
+        msgs = jnp.where(g.edge_mask[:, None, None], msgs, 0.0)
+        out = jax.ops.segment_sum(msgs, g.dst, num_segments=n)  # [N, H, C]
+        out = out.reshape(n, h * c) if True else out.mean(1)
+        out = out + self.param("bias", nn.initializers.zeros, (h * c,))
+        return out
+
+
+class IHPool(nn.Module):
+    """Fixed-budget iterative hierarchical pooling (see module docstring).
+    Budgets: k1 level-1 clusters, k2 level-2 clusters; output graph has
+    1 + k1 + k2 node slots."""
+
+    k1: int = 8
+    k2: int = 32
+
+    @nn.compact
+    def __call__(self, g: TreeGraph, x: jax.Array):
+        d = x.shape[-1]
+        n = x.shape[0]
+        w1 = self.param("weight_1", nn.initializers.uniform(1.0), (1, d))
+        w2 = self.param("weight_2", nn.initializers.uniform(1.0), (1, d))
+
+        def fitness(w, level):
+            f = jnp.tanh((x * w).sum(-1) / jnp.maximum(jnp.linalg.norm(w), 1e-12))
+            valid = g.node_mask & (g.node_type == level)
+            return f, valid
+
+        def centers(f, valid, k):
+            """Evenly-spaced fitness order statistics as cluster centres
+            (IHPool.py:126-135), padded-safe: invalid nodes sort to +inf."""
+            key_f = jnp.where(valid, f, jnp.inf)
+            order = jnp.argsort(key_f)
+            n_valid = valid.sum()
+            # k evenly spaced picks over the valid prefix
+            pos = jnp.clip(
+                (jnp.arange(k) * jnp.maximum(n_valid, 1)) // k, 0, n - 1
+            )
+            idx = order[pos]
+            ok = jnp.arange(k) < jnp.minimum(k, n_valid)
+            return idx, ok
+
+        f1, v1 = fitness(w1, 1)
+        c1_idx, c1_ok = centers(f1, v1, self.k1)
+        f2, v2 = fitness(w2, 2)
+        c2_idx, c2_ok = centers(f2, v2, self.k2)
+
+        def assign(f, valid, c_idx, c_ok, parent_cluster=None, center_parent=None):
+            """Nearest (x, y, fitness) centre (IHPool.py:30-56 euclidean_dist:
+            spatial distance + fitness difference), with an optional
+            hierarchy penalty keeping children inside the parent cluster."""
+            p = jnp.concatenate([g.xy, f[:, None]], -1)  # [N, 3]
+            cp = p[c_idx]  # [K, 3]
+            d_xy = jnp.sqrt(
+                jnp.maximum(((p[:, None, :2] - cp[None, :, :2]) ** 2).sum(-1), 1e-12)
+            )
+            d_f = jnp.abs(p[:, None, 2] - cp[None, :, 2])
+            dist = d_xy + d_f
+            dist = jnp.where(c_ok[None, :], dist, jnp.inf)
+            if parent_cluster is not None:
+                same = parent_cluster[:, None] == center_parent[None, :]
+                dist = jnp.where(same, dist, dist + 1e6)
+            return jnp.argmin(dist, axis=1)
+
+        a1 = assign(f1, v1, c1_idx, c1_ok)  # [N] in [0, k1)
+        # level-2 nodes inherit their parent's level-1 cluster as constraint
+        parent_c1 = a1[g.tree]
+        center_parent = parent_c1[c2_idx]
+        a2 = assign(f2, v2, c2_idx, c2_ok, parent_c1, center_parent)
+
+        # global cluster id: 0 = thumbnail, 1..k1 = level1, k1+1.. = level2
+        cluster = jnp.where(
+            g.node_type == 0, 0,
+            jnp.where(g.node_type == 1, 1 + a1, 1 + self.k1 + a2),
+        )
+        cluster = jnp.where(g.node_mask, cluster, 0)
+        k_out = 1 + self.k1 + self.k2
+
+        m = g.node_mask.astype(x.dtype)
+        sums = jax.ops.segment_sum(x * m[:, None], cluster, num_segments=k_out)
+        cnts = jax.ops.segment_sum(m, cluster, num_segments=k_out)
+        new_x = sums / jnp.maximum(cnts, 1.0)[:, None]
+        xy_sum = jax.ops.segment_sum(g.xy * m[:, None], cluster, num_segments=k_out)
+        new_xy = xy_sum / jnp.maximum(cnts, 1.0)[:, None]
+
+        new_type = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32),
+             jnp.ones(self.k1, jnp.int32),
+             jnp.full(self.k2, 2, jnp.int32)]
+        )
+        new_tree = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32),
+             jnp.zeros(self.k1, jnp.int32),  # level-1 -> thumbnail
+             1 + center_parent.astype(jnp.int32)]  # level-2 -> parent cluster
+        )
+        new_mask = cnts > 0
+
+        # A' = S^T A S through edge relabeling; duplicates act as weights
+        new_src = cluster[g.src]
+        new_dst = cluster[g.dst]
+        new_emask = g.edge_mask & new_mask[new_src] & new_mask[new_dst]
+
+        return TreeGraph(
+            feats=new_x, src=new_src, dst=new_dst, node_type=new_type,
+            tree=new_tree, xy=new_xy, node_mask=new_mask, edge_mask=new_emask,
+        ), new_x
+
+
+class H2MIL(nn.Module):
+    """The H2MIL classifier head (main_baselines_kfold.py:31-100)."""
+
+    hidden_dim: int
+    n_classes: int
+    k1: int = 8
+    k2: int = 32
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, g: TreeGraph, train: bool = False) -> jax.Array:
+        x = nn.LayerNorm(name="norm0")(g.feats)
+        x = RAConvLayer(self.hidden_dim, name="conv1")(g, x, train)
+        x = nn.relu(x)
+        x = nn.LayerNorm(name="norm1")(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+
+        g1, x = IHPool(self.k1, self.k2, name="pool_1")(g, x)
+        m1 = g1.node_mask.astype(x.dtype)[:, None]
+        x1 = (x * m1).sum(0) / jnp.maximum(m1.sum(), 1.0)
+
+        x = RAConvLayer(self.hidden_dim, name="conv2")(g1, x, train)
+        x = nn.relu(x)
+        x = nn.LayerNorm(name="norm2")(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+
+        g2, x = IHPool(max(self.k1 // 2, 1), max(self.k2 // 2, 1), name="pool_2")(g1, x)
+        m2 = g2.node_mask.astype(x.dtype)[:, None]
+        x2 = (x * m2).sum(0) / jnp.maximum(m2.sum(), 1.0)
+
+        z = x1 + x2
+        z = nn.relu(nn.Dense(self.hidden_dim // 2, name="lin1")(z))
+        z = nn.Dropout(self.dropout, deterministic=not train)(z)
+        logits = nn.Dense(self.n_classes, name="lin2")(z)
+        return logits[None, :]

@@ -1,18 +1,27 @@
 """Benchmark: slides/sec end-to-end (graph build + GNN forward) on TPU.
 
-Pipeline benchmarked (the BASELINE.json north-star path): per batch of
-slides, 1024-d patch features -> on-device exact KNN (radius 9, matching
+Pipeline benchmarked (the BASELINE.json north-star path): a cohort of
+slides streams through ONE compiled program — per step, 1024-d patch
+features -> on-device exact KNN (radius 9, matching
 configs/GraphConstruction/*_graph_constructor.yml) -> Pearson edge typing ->
-batched heterogeneous TypedGraph -> HEATNet4 forward -> logits. One compiled
-program, no host synchronisation between stages.
+batched heterogeneous TypedGraph -> HEATNet4 forward -> logits — iterated
+with `lax.scan` so the whole cohort runs without host synchronisation.
 
-Baseline: the reference performs this stage on the host CPU — an nmslib
-HNSW build + per-node queries plus a Python loop of scipy.stats.pearsonr
-over every edge (/root/reference/construct_graph/graph_constructor.py:256-303)
-— followed by a GPU GNN forward. We measure a faithful CPU re-enactment of
-the host part on this machine (sklearn exact KNN standing in for HNSW, the
-same per-edge scipy loop) and IGNORE the reference's GNN-forward cost, so
-`vs_baseline` understates the true speedup.
+Measurement notes for this environment: the TPU is reached through a relay
+whose `block_until_ready` acknowledges dispatch, not completion, and whose
+per-call synchronous round-trip (~40 ms) dwarfs compute. Streaming K batches
+inside one program and fetching one reduced scalar AFTER the scan both
+amortises the round-trip and forces true completion, giving an honest
+per-slide time (verified stable across K).
+
+Baseline: the reference performs graph construction on the host CPU — an
+nmslib HNSW build + per-node queries plus a Python loop of
+scipy.stats.pearsonr over every edge
+(/root/reference/construct_graph/graph_constructor.py:256-303) — followed by
+a GPU GNN forward. We measure a faithful CPU re-enactment of the host part
+on this machine (sklearn exact KNN standing in for HNSW, the same per-edge
+scipy loop) and IGNORE the reference's GNN-forward cost, so `vs_baseline`
+understates the true speedup.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "slides/sec", "vs_baseline": N}
@@ -31,6 +40,7 @@ RADIUS = 9            # BRCA graph-construction operating point
 N_TYPES = 6           # PanNuke node types
 BATCH = 4             # slides per device step
 HIDDEN = 256
+COHORT_STEPS = 32     # batches streamed per compiled call
 
 
 def log(msg):
@@ -38,6 +48,8 @@ def log(msg):
 
 
 def measure_tpu() -> float:
+    from functools import partial
+
     import jax
     import jax.numpy as jnp
 
@@ -57,23 +69,34 @@ def measure_tpu() -> float:
     params = model.init(jax.random.PRNGKey(0), g0)
 
     @jax.jit
-    def slide_to_logits(params, feats, ntypes, mask):
-        g = build_batch_device(feats, ntypes, mask, RADIUS, N_TYPES)
-        return model.apply(params, g, train=False)
+    def cohort(params, feats, ntypes, mask):
+        def step(carry, i):
+            f = feats * (1.0 + i * 1e-6)  # distinct slides per step
+            g = build_batch_device(f, ntypes, mask, RADIUS, N_TYPES)
+            logits = model.apply(params, g, train=False)
+            return carry + logits.sum(), None
+        s, _ = jax.lax.scan(
+            step, jnp.float32(0), jnp.arange(COHORT_STEPS, dtype=jnp.float32)
+        )
+        return s
 
-    # warm-up / compile
-    out = slide_to_logits(params, feats, ntypes, mask)
-    out.block_until_ready()
-    log(f"device: {jax.devices()[0]}, compiled; logits {np.asarray(out)[0]}")
+    # warm-up / compile; fetching the scalar forces real completion
+    s = cohort(params, feats, ntypes, mask)
+    _ = np.asarray(s)
+    log(f"device: {jax.devices()[0]}, compiled; checksum {float(s):.4f}")
 
-    reps = 20
+    reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = slide_to_logits(params, feats, ntypes, mask)
-    out.block_until_ready()
+        s = cohort(params, feats, ntypes, mask)
+        _ = np.asarray(s)
     dt = time.perf_counter() - t0
-    slides_per_sec = reps * BATCH / dt
-    log(f"tpu: {reps} steps x {BATCH} slides in {dt:.3f}s -> {slides_per_sec:.2f} slides/s")
+    n_slides = reps * COHORT_STEPS * BATCH
+    slides_per_sec = n_slides / dt
+    log(
+        f"tpu: {reps} x {COHORT_STEPS} steps x {BATCH} slides in {dt:.3f}s "
+        f"-> {slides_per_sec:.2f} slides/s ({dt / n_slides * 1e3:.2f} ms/slide)"
+    )
     return slides_per_sec
 
 
@@ -116,8 +139,10 @@ def measure_reference_baseline() -> float:
 
 
 def main():
-    baseline = measure_reference_baseline()
+    # TPU first: the baseline's sklearn/OpenMP threadpool spin-waits and
+    # can starve the host dispatch loop on low-core machines if run before
     value = measure_tpu()
+    baseline = measure_reference_baseline()
     print(
         json.dumps(
             {

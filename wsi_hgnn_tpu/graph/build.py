@@ -24,22 +24,27 @@ from ..ops.pearson import center_normalize
 from .typed_graph import TypedGraph, bucket_size, from_arrays
 
 
-@partial(jax.jit, static_argnames=("radius",))
-def build_edges_device(features: jax.Array, radius: int, mask: Optional[jax.Array] = None):
+@partial(jax.jit, static_argnames=("radius", "approx_knn"))
+def build_edges_device(features: jax.Array, radius: int,
+                       mask: Optional[jax.Array] = None,
+                       approx_knn: bool = False):
     """(src, dst, esign, sim, edge_mask) for one padded feature buffer.
 
     radius follows the reference convention: each node gets radius-1
     neighbours (graph_constructor.py:267-273). Edges whose source row is
-    padding are masked out.
+    padding are masked out. Pearson edge weights come from one Gram matmul
+    of the centred-normalised features (fn @ fn.T) gathered along the
+    regular [N, k] neighbour lattice — no irregular row gathers.
     """
     k = radius - 1
     n = features.shape[0]
-    idx, _ = knn_l2(features, k, mask)
+    idx, _ = knn_l2(features, k, mask, approx=approx_knn)
     src = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
     dst = idx.reshape(-1).astype(jnp.int32)
 
     fn = center_normalize(features)
-    sim = jnp.sum(fn[src] * fn[dst], axis=1)
+    gram = fn @ fn.T  # [N, N] pearson r of every pair
+    sim = jnp.take_along_axis(gram, idx, axis=1).reshape(-1)  # [N*k]
     esign = (sim > 0).astype(jnp.int32)
 
     if mask is None:
@@ -53,13 +58,14 @@ def build_edges_device(features: jax.Array, radius: int, mask: Optional[jax.Arra
     return src, dst, esign, sim, emask
 
 
-@partial(jax.jit, static_argnames=("radius", "n_node_types"))
+@partial(jax.jit, static_argnames=("radius", "n_node_types", "approx_knn"))
 def build_batch_device(
     features: jax.Array,      # [B, N, D] padded per-slide feature buffers
     node_types: jax.Array,    # [B, N] int32
     mask: jax.Array,          # [B, N] bool
     radius: int,
     n_node_types: int = 6,
+    approx_knn: bool = False,
 ) -> TypedGraph:
     """Cohort-batched slide-graph construction entirely on device.
 
@@ -73,7 +79,7 @@ def build_batch_device(
     k = radius - 1
 
     def per_slide(f, m):
-        return build_edges_device(f, radius, m)
+        return build_edges_device(f, radius, m, approx_knn=approx_knn)
 
     src, dst, esign, sim, emask = jax.vmap(per_slide)(features, mask)
     offsets = (jnp.arange(b, dtype=jnp.int32) * n)[:, None]

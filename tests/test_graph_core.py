@@ -198,3 +198,23 @@ def test_rel_edge_counts():
     for i in range(8):
         expect[esign[i] * t * t + ntype[src[i]] * t + ntype[dst[i]]] += 1
     np.testing.assert_array_equal(counts, expect)
+
+
+def test_stage_timer():
+    import time as _time
+
+    from wsi_hgnn_tpu.profiling import StageTimer
+
+    t = StageTimer()
+    with t.stage("outer"):
+        with t.stage("inner"):
+            _time.sleep(0.005)
+    with t.stage("outer"):
+        pass
+    assert t.counts["outer"] == 2
+    assert t.counts["outer/inner"] == 1
+    assert t.totals["outer/inner"] >= 0.005
+    rep = t.report()
+    assert "outer/inner" in rep
+    t.reset()
+    assert not t.totals

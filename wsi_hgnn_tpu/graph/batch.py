@@ -39,49 +39,78 @@ def batch_graphs(
         if g.n_node_types != t or g.n_edge_types != et:
             raise ValueError("all graphs in a batch must share type metadata")
 
-    feats, ntys, ngraph, srcs, dsts, esigns, sims = [], [], [], [], [], [], []
-    offset = 0
-    for i, g in enumerate(graphs):
-        nmask = np.asarray(g.node_mask)
-        emask = np.asarray(g.edge_mask)
-        n = int(nmask.sum())
-        e = int(emask.sum())
+    b = len(graphs)
+    feats, ntys, srcs, dsts, esigns, sims = [], [], [], [], [], []
+    counts = []
+    for g in graphs:
+        n = int(np.asarray(g.node_mask).sum())
+        e = int(np.asarray(g.edge_mask).sum())
+        counts.append((n, e))
         feats.append(np.asarray(g.feat)[:n])
         ntys.append(np.asarray(g.node_type)[:n])
-        ngraph.append(np.full(n, i, dtype=np.int32))
-        srcs.append(np.asarray(g.src)[:e] + offset)
-        dsts.append(np.asarray(g.dst)[:e] + offset)
+        srcs.append(np.asarray(g.src)[:e])
+        dsts.append(np.asarray(g.dst)[:e])
         esigns.append(np.asarray(g.esign)[:e])
         sims.append(np.asarray(g.sim)[:e])
-        offset += n
 
-    feat = np.concatenate(feats)
-    n_total = feat.shape[0]
-    src = np.concatenate(srcs)
-    e_total = src.shape[0]
-
+    n_total = sum(n for n, _ in counts)
+    e_total = sum(e for _, e in counts)
     cap_n = node_capacity or bucket_size(n_total, base=bucket_base)
     cap_e = edge_capacity or bucket_size(e_total, base=bucket_base)
     if cap_n < n_total or cap_e < e_total:
         raise ValueError("batch exceeds requested capacity")
+
+    # native C++ packer fast path (one multithreaded pass; see native/)
+    from ..native import pack_batch_native
+
+    packed = pack_batch_native(
+        feats, ntys, srcs, dsts, esigns, sims, cap_n, cap_e
+    )
+    if packed is not None:
+        feat_p, nty_p, ngr_p, nmask, src_p, dst_p, esg_p, sim_p, emask = packed
+        return TypedGraph(
+            feat=feat_p,
+            node_type=nty_p,
+            node_graph=ngr_p,
+            node_mask=nmask,
+            src=src_p,
+            dst=dst_p,
+            esign=esg_p,
+            sim=sim_p,
+            edge_mask=emask,
+            n_graphs=b,
+            n_node_types=t,
+            n_edge_types=et,
+        )
+
+    # NumPy fallback
+    offset = 0
+    ngraph = []
+    for i, (n, _) in enumerate(counts):
+        srcs[i] = srcs[i] + offset
+        dsts[i] = dsts[i] + offset
+        ngraph.append(np.full(n, i, dtype=np.int32))
+        offset += n
+
+    feat = np.concatenate(feats)
+    src = np.concatenate(srcs)
 
     def pad(x, cap, fill=0):
         out = np.full((cap,) + x.shape[1:], fill, dtype=x.dtype)
         out[: x.shape[0]] = x
         return out
 
-    b = len(graphs)
     return TypedGraph(
-        feat=jnp.asarray(pad(feat, cap_n)),
-        node_type=jnp.asarray(pad(np.concatenate(ntys), cap_n)),
+        feat=pad(feat, cap_n),
+        node_type=pad(np.concatenate(ntys), cap_n),
         # padding nodes point at graph 0 but are masked out of every segment op
-        node_graph=jnp.asarray(pad(np.concatenate(ngraph), cap_n)),
-        node_mask=jnp.asarray(np.arange(cap_n) < n_total),
-        src=jnp.asarray(pad(src, cap_e)),
-        dst=jnp.asarray(pad(np.concatenate(dsts), cap_e)),
-        esign=jnp.asarray(pad(np.concatenate(esigns), cap_e)),
-        sim=jnp.asarray(pad(np.concatenate(sims), cap_e)),
-        edge_mask=jnp.asarray(np.arange(cap_e) < e_total),
+        node_graph=pad(np.concatenate(ngraph), cap_n),
+        node_mask=np.arange(cap_n) < n_total,
+        src=pad(src, cap_e),
+        dst=pad(np.concatenate(dsts), cap_e),
+        esign=pad(np.concatenate(esigns), cap_e),
+        sim=pad(np.concatenate(sims), cap_e),
+        edge_mask=np.arange(cap_e) < e_total,
         n_graphs=b,
         n_node_types=t,
         n_edge_types=et,

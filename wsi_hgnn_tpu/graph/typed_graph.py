@@ -227,16 +227,20 @@ def from_arrays(
     feat_p = np.zeros((cap_n, d), dtype=np.float32)
     feat_p[:n] = feat
 
+    # NOTE: leaves stay host-side numpy — the loader batches many slides
+    # before anything touches the device, and a premature device_put would
+    # force a device round-trip per slide (expensive through remote links).
+    # jit/device_put transfers the final batched graph once.
     return TypedGraph(
-        feat=jnp.asarray(feat_p),
-        node_type=jnp.asarray(pad1(node_type.astype(np.int32), cap_n)),
-        node_graph=jnp.asarray(np.zeros(cap_n, dtype=np.int32)),
-        node_mask=jnp.asarray(np.arange(cap_n) < n),
-        src=jnp.asarray(pad1(src, cap_e)),
-        dst=jnp.asarray(pad1(dst, cap_e)),
-        esign=jnp.asarray(pad1(esign.astype(np.int32), cap_e)),
-        sim=jnp.asarray(pad1(sim.astype(np.float32), cap_e)),
-        edge_mask=jnp.asarray(np.arange(cap_e) < e),
+        feat=feat_p,
+        node_type=pad1(node_type.astype(np.int32), cap_n),
+        node_graph=np.zeros(cap_n, dtype=np.int32),
+        node_mask=np.arange(cap_n) < n,
+        src=pad1(src, cap_e),
+        dst=pad1(dst, cap_e),
+        esign=pad1(esign.astype(np.int32), cap_e),
+        sim=pad1(sim.astype(np.float32), cap_e),
+        edge_mask=np.arange(cap_e) < e,
         n_graphs=1,
         n_node_types=n_node_types,
         n_edge_types=n_edge_types,

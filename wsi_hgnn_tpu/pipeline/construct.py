@@ -21,6 +21,7 @@ from typing import Callable, Dict, Optional, Tuple
 import numpy as np
 
 from ..data.datasets import save_graph_npz
+from ..profiling import GLOBAL_TIMER
 from ..graph import build_graph
 from .patches import iter_patch_batches, list_patches
 
@@ -131,11 +132,13 @@ def construct_all(graph_config: Dict, hovernet_config: Dict, kimianet_config: Di
             homo_file = out_dir / "homogeneous" / (tail + ".npz")
             if het_file.exists() or homo_file.exists():
                 continue
-            gc = GraphConstructor(
-                graph_config, hovernet_config, kimianet_config, wsi_input,
-                encoder=encoder,
-            )
-            het, homo, node_type = gc.construct_graph()
+            with GLOBAL_TIMER.stage("construct/featurize"):
+                gc = GraphConstructor(
+                    graph_config, hovernet_config, kimianet_config, wsi_input,
+                    encoder=encoder,
+                )
+            with GLOBAL_TIMER.stage("construct/graph"):
+                het, homo, node_type = gc.construct_graph()
 
             def dump(g, path, is_hetero):
                 n = int(np.asarray(g.node_mask).sum())

@@ -34,6 +34,7 @@ from ..graph import TypedGraph, to_homogeneous, transforms
 from .checkpoint import CheckpointManager
 from .evaluator import HomoGraphEvaluator, evaluate
 from .metrics import accuracy, metrics
+from ..profiling import GLOBAL_TIMER
 
 
 @struct.dataclass
@@ -166,9 +167,10 @@ class GNNTrainer:
             for gb, labels, weights in self.loader:
                 if self.state is None:
                     self.state = self.init_state(gb)
-                self.state, loss, prob = self._train_step(
-                    self.state, gb, jnp.asarray(labels), jnp.asarray(weights)
-                )
+                with GLOBAL_TIMER.stage("train/step"):
+                    self.state, loss, prob = self._train_step(
+                        self.state, gb, jnp.asarray(labels), jnp.asarray(weights)
+                    )
                 res += float(loss)
                 prob = np.asarray(prob)
                 real = weights > 0
@@ -184,8 +186,10 @@ class GNNTrainer:
             )
 
             # validation + testing every epoch, like the reference
-            test_m = self.evaluate_split(self.eval_path)
-            val_m = self.evaluate_split(self.valid_path)
+            with GLOBAL_TIMER.stage("train/eval_test"):
+                test_m = self.evaluate_split(self.eval_path)
+            with GLOBAL_TIMER.stage("train/eval_val"):
+                val_m = self.evaluate_split(self.valid_path)
 
             epoch_stats = {
                 "Epoch": epoch + 1,

@@ -1,0 +1,78 @@
+"""Lattice fast path: outputs must match the TypedGraph HEAT models with
+SHARED parameters (the trees are interchangeable by construction)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wsi_hgnn_tpu import models
+from wsi_hgnn_tpu.graph.build import build_batch_device
+from wsi_hgnn_tpu.models.lattice import (
+    HEATNet2Lattice,
+    HEATNet4Lattice,
+    build_lattice_device,
+)
+
+B, N, D, T, R = 2, 64, 16, 6, 5
+
+
+def data(seed=0):
+    rng = np.random.RandomState(seed)
+    feats = jnp.asarray(rng.randn(B, N, D).astype(np.float32))
+    ntypes = jnp.asarray(rng.randint(0, T, (B, N)).astype(np.int32))
+    mask = jnp.asarray(np.arange(N)[None, :] < np.array([N, N - 10])[:, None])
+    return feats, ntypes, mask
+
+
+def test_lattice_build_matches_typed_graph():
+    feats, ntypes, mask = data()
+    g_t = build_batch_device(feats, ntypes, mask, R, T)
+    g_l = build_lattice_device(feats, ntypes, mask, R, T)
+    k = R - 1
+    # same neighbour sets and similarities for real nodes
+    src = np.asarray(g_t.src).reshape(B, N, k)
+    dst = np.asarray(g_t.dst).reshape(B, N, k)
+    for b in range(B):
+        real = np.asarray(mask[b])
+        np.testing.assert_array_equal(
+            dst[b][real] - b * N, np.asarray(g_l.idx)[b][real]
+        )
+    np.testing.assert_allclose(
+        np.asarray(g_t.sim).reshape(B, N, k)[np.asarray(mask)],
+        np.asarray(g_l.sim)[np.asarray(mask)],
+        atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("which", ["heat2", "heat4"])
+def test_lattice_model_matches_typed_graph_model(which):
+    feats, ntypes, mask = data(1)
+    g_t = build_batch_device(feats, ntypes, mask, R, T)
+    g_l = build_lattice_device(feats, ntypes, mask, R, T)
+
+    kw = dict(in_dim=D, hidden_dim=32, out_dim=3, n_layers=2, n_heads=2,
+              n_node_types=T, dropout=0.0)
+    if which == "heat2":
+        ref_model, lat_model = models.HEATNet2(**kw), HEATNet2Lattice(**kw)
+    else:
+        ref_model, lat_model = models.HEATNet4(**kw), HEATNet4Lattice(**kw)
+
+    params = ref_model.init(jax.random.PRNGKey(0), g_t)
+    ref = np.asarray(ref_model.apply(params, g_t, train=False))
+
+    # the SAME param tree drives the lattice model
+    lat = np.asarray(lat_model.apply(params, g_l, train=False))
+    assert lat.shape == ref.shape
+    np.testing.assert_allclose(lat, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_lattice_param_tree_is_interchangeable():
+    feats, ntypes, mask = data(2)
+    g_l = build_lattice_device(feats, ntypes, mask, R, T)
+    kw = dict(in_dim=D, hidden_dim=32, out_dim=3, n_layers=2, n_heads=2,
+              n_node_types=T, dropout=0.0)
+    lat_params = HEATNet4Lattice(**kw).init(jax.random.PRNGKey(1), g_l)
+    g_t = build_batch_device(feats, ntypes, mask, R, T)
+    out = models.HEATNet4(**kw).apply(lat_params, g_t, train=False)
+    assert np.all(np.isfinite(np.asarray(out)))

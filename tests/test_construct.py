@@ -66,3 +66,30 @@ def test_build_graph_end_to_end():
     # node types preserved; edge signs consistent
     np.testing.assert_array_equal(np.asarray(het.node_type)[:40], ntypes)
     np.testing.assert_array_equal(np.asarray(het.esign)[:120], (sim > 0).astype(int))
+
+
+def test_pallas_knn_matches_exact():
+    """Fused Pallas KNN (interpret mode on CPU) == XLA exact KNN."""
+    import jax.numpy as jnp
+
+    from wsi_hgnn_tpu.ops.pallas_knn import knn_l2_pallas
+
+    rng = np.random.RandomState(5)
+    feats = jnp.asarray(rng.randn(256, 32).astype(np.float32))
+    mask = jnp.asarray(np.arange(256) < 200)
+    idx_p, d_p = knn_l2_pallas(feats, 6, mask, tile_q=64, tile_c=128,
+                               interpret=True)
+    idx_r, d_r = knn_l2(feats, 6, mask)
+    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_r))
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_r), atol=1e-4)
+
+
+def test_knn_lookup_dispatch():
+    from wsi_hgnn_tpu.ops.knn import knn_lookup
+
+    rng = np.random.RandomState(6)
+    feats = rng.randn(64, 16).astype(np.float32)
+    i1, _ = knn_lookup(feats, 4, impl="exact")
+    # awkward size falls back from pallas to exact
+    i2, _ = knn_lookup(feats[:60], 4, impl="pallas")
+    assert np.asarray(i2).shape == (60, 4)

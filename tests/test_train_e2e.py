@@ -165,3 +165,25 @@ def test_metrics_match_sklearn():
     assert r == pytest.approx(recall_score(targets, preds, average="macro"))
     assert f == pytest.approx(f1_score(targets, preds, average="macro"))
     assert a == pytest.approx(roc_auc_score(targets, probs, multi_class="ovr"))
+
+
+def test_trainer_resume_from_checkpoint(tmp_path):
+    """Resume restores params + optimizer + PRNG and continues at the
+    checkpointed epoch."""
+    train_list, normal_list = make_synthetic_cohort(tmp_path, hetero=False)
+    ckpt = str(tmp_path / "ckpt_resume")
+    cfg = loads_config(CFG_TMPL.format(train=train_list, normal=normal_list,
+                                       ckpt=ckpt, gnn="GCN", epochs=4))
+    t1 = GNNTrainer(cfg, seed=0)
+    t1.train(log_every=0)
+    assert t1.checkpoint_manager.version == 4
+
+    # second trainer with a higher epoch budget resumes at epoch 4
+    cfg2 = loads_config(CFG_TMPL.format(train=train_list, normal=normal_list,
+                                        ckpt=ckpt, gnn="GCN", epochs=6))
+    t2 = GNNTrainer(cfg2, seed=0)
+    t2.train(log_every=0)
+    assert t2.start_epoch == 4
+    assert t2.checkpoint_manager.version == 6
+    lines = (tmp_path / "ckpt_resume/training_stats.json").read_text().strip().split("\n")
+    assert len(lines) == 6  # 4 + 2 appended

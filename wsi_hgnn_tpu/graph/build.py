@@ -19,15 +19,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.knn import knn_l2
+from ..ops.knn import knn_l2, knn_lookup
 from ..ops.pearson import center_normalize
 from .typed_graph import TypedGraph, bucket_size, from_arrays
 
 
-@partial(jax.jit, static_argnames=("radius", "approx_knn"))
+@partial(jax.jit, static_argnames=("radius", "knn_impl"))
 def build_edges_device(features: jax.Array, radius: int,
                        mask: Optional[jax.Array] = None,
-                       approx_knn: bool = False):
+                       knn_impl: str = "exact"):
     """(src, dst, esign, sim, edge_mask) for one padded feature buffer.
 
     radius follows the reference convention: each node gets radius-1
@@ -38,7 +38,7 @@ def build_edges_device(features: jax.Array, radius: int,
     """
     k = radius - 1
     n = features.shape[0]
-    idx, _ = knn_l2(features, k, mask, approx=approx_knn)
+    idx, _ = knn_lookup(features, k, mask, impl=knn_impl)
     src = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
     dst = idx.reshape(-1).astype(jnp.int32)
 
@@ -58,14 +58,14 @@ def build_edges_device(features: jax.Array, radius: int,
     return src, dst, esign, sim, emask
 
 
-@partial(jax.jit, static_argnames=("radius", "n_node_types", "approx_knn"))
+@partial(jax.jit, static_argnames=("radius", "n_node_types", "knn_impl"))
 def build_batch_device(
     features: jax.Array,      # [B, N, D] padded per-slide feature buffers
     node_types: jax.Array,    # [B, N] int32
     mask: jax.Array,          # [B, N] bool
     radius: int,
     n_node_types: int = 6,
-    approx_knn: bool = False,
+    knn_impl: str = "exact",
 ) -> TypedGraph:
     """Cohort-batched slide-graph construction entirely on device.
 
@@ -79,7 +79,7 @@ def build_batch_device(
     k = radius - 1
 
     def per_slide(f, m):
-        return build_edges_device(f, radius, m, approx_knn=approx_knn)
+        return build_edges_device(f, radius, m, knn_impl=knn_impl)
 
     src, dst, esign, sim, emask = jax.vmap(per_slide)(features, mask)
     offsets = (jnp.arange(b, dtype=jnp.int32) * n)[:, None]

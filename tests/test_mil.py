@@ -167,3 +167,55 @@ def test_h2mil_runs_and_is_finite():
     # jit-compiles (static shapes end to end)
     jl = jax.jit(lambda p, gg: model.apply(p, gg))(params, g)
     np.testing.assert_allclose(np.asarray(jl), np.asarray(logits), rtol=1e-5)
+
+
+def test_nt_xent_loss_prefers_aligned_views():
+    from wsi_hgnn_tpu.models.mil import nt_xent_loss
+
+    rng = np.random.RandomState(0)
+    z = jnp.asarray(rng.randn(16, 8).astype(np.float32))
+    aligned = float(nt_xent_loss(z, z + 0.01 * rng.randn(16, 8).astype(np.float32)))
+    shuffled = float(nt_xent_loss(z, jnp.asarray(rng.permutation(np.asarray(z)))))
+    assert aligned < shuffled
+
+
+def test_simclr_step_decreases_loss():
+    import optax
+    from flax import linen as nn
+    from wsi_hgnn_tpu.models.mil import make_simclr_train_step
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = x.reshape(x.shape[0], -1)
+            h = nn.relu(nn.Dense(32)(h))
+            return nn.Dense(16)(h)
+
+    enc = Tiny()
+    rng = np.random.RandomState(1)
+    imgs = jnp.asarray(rng.rand(8, 16, 16, 3).astype(np.float32))
+    params = enc.init(jax.random.PRNGKey(0), imgs)
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+    step = make_simclr_train_step(lambda p, x: enc.apply(p, x), tx)
+    losses = []
+    key = jax.random.PRNGKey(2)
+    for i in range(12):
+        key, k = jax.random.split(key)
+        params, opt, loss = step(params, opt, k, imgs)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_spatial_adjacency_golden():
+    from wsi_hgnn_tpu.models.mil import coords_from_patch_names, spatial_adjacency
+
+    # 2x2 grid with one missing corner
+    coords = coords_from_patch_names(["0_0.jpeg", "1_0.jpeg", "0_1.jpeg"])
+    src, dst = spatial_adjacency(coords)
+    edges = set(zip(src.tolist(), dst.tolist()))
+    # all pairs adjacent (including diagonal 1_0 <-> 0_1)
+    assert (0, 1) in edges and (1, 0) in edges
+    assert (0, 2) in edges and (2, 0) in edges
+    assert (1, 2) in edges and (2, 1) in edges
+    assert len(edges) == 6

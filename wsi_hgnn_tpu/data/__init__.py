@@ -1,6 +1,7 @@
 """Data layer: slide-graph datasets, npz storage, host batching pipeline."""
 from .datasets import (
     C16EvalDataset,
+    WSIData,
     GraphDataset,
     TCGACancerStageDataset,
     TCGACancerTypingDataset,
@@ -11,6 +12,7 @@ from .loader import GraphLoader, dataset_capacities
 
 __all__ = [
     "C16EvalDataset",
+    "WSIData",
     "GraphDataset",
     "TCGACancerStageDataset",
     "TCGACancerTypingDataset",

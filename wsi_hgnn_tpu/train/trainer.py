@@ -192,8 +192,10 @@ class GNNTrainer:
             self.state = self.init_state(gb0)
         for epoch in range(self.start_epoch, self.n_epoch):
             t0 = time.time()
-            res = 0.0
-            probs, labels_all, accs, weights_all = [], [], [], []
+            # accumulate losses/probs as device arrays; ONE host fetch per
+            # epoch (the reference syncs per step, train_gnn.py:73-77 — on
+            # remote links a per-step D2H costs ~40 ms, PERF_NOTES.md)
+            loss_dev, prob_dev, labels_host, weights_host = [], [], [], []
             for gb, labels, weights in self.loader:
                 if self.state is None:
                     self.state = self.init_state(gb)
@@ -201,15 +203,26 @@ class GNNTrainer:
                     self.state, loss, prob = self._train_step(
                         self.state, gb, jnp.asarray(labels), jnp.asarray(weights)
                     )
-                res += float(loss)
-                prob = np.asarray(prob)
-                real = weights > 0
-                probs.append(prob[real])
-                labels_all.append(labels[real])
-                accs.append(accuracy(prob[real], labels[real]))
+                loss_dev.append(loss)
+                prob_dev.append(prob)
+                labels_host.append(labels)
+                weights_host.append(weights)
 
-            prob_cat = np.concatenate(probs)
-            label_cat = np.concatenate(labels_all)
+            with GLOBAL_TIMER.stage("train/epoch_fetch"):
+                res = float(jnp.stack(loss_dev).sum())
+                prob_all = np.asarray(jnp.concatenate(prob_dev))
+            labels_all = np.concatenate(labels_host)
+            real = np.concatenate(weights_host) > 0
+            prob_cat = prob_all[real]
+            label_cat = labels_all[real]
+            # per-batch mean of batch accuracies, like the reference
+            accs = []
+            off = 0
+            for w in weights_host:
+                r = w > 0
+                p = prob_all[off : off + len(w)][r]
+                accs.append(accuracy(p, labels_all[off : off + len(w)][r]))
+                off += len(w)
             acc = float(np.mean(accs))
             precision, recall, f1, train_auc = metrics(
                 prob_cat, label_cat, average=self.average

@@ -109,6 +109,7 @@ def build_graph(
     n_node_types: int = 6,
     node_capacity: Optional[int] = None,
     edge_capacity: Optional[int] = None,
+    knn_impl: str = "exact",
 ) -> Tuple[TypedGraph, TypedGraph]:
     """Host wrapper: features [N, D] (+ HoVer-Net node types) -> padded
     (hetero_graph, homo_graph) pair, the construct_graph() return contract
@@ -121,7 +122,8 @@ def build_graph(
     mask = np.arange(cap_n) < n
 
     src, dst, esign, sim, emask = jax.device_get(
-        build_edges_device(jnp.asarray(feats_p), radius, jnp.asarray(mask))
+        build_edges_device(jnp.asarray(feats_p), radius, jnp.asarray(mask),
+                           knn_impl=knn_impl)
     )
     keep = np.asarray(emask)
     src, dst, esign, sim = src[keep], dst[keep], esign[keep], sim[keep]

@@ -104,6 +104,8 @@ class GraphConstructor:
             self.node_type,
             radius=self.radius,
             n_node_types=self.n_node_type,
+            # 'exact' (default) | 'approx' (HNSW analog) | 'pallas' (fused)
+            knn_impl=self.config.get("knn_impl", "exact"),
         )
         return het, homo, self.node_type
 

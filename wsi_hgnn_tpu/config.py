@@ -182,8 +182,20 @@ def parse_optimizer(config_optim: dict) -> optax.GradientTransformation:
     wd = config_optim.get("weight_decay", 0.0)
 
     if method == "adagrad":
+        # the reference couples BOTH lr_decay and weight_decay to the config's
+        # weight_decay (parser.py:21-25); torch Adagrad's effective rate is
+        # lr / (1 + (step-1) * lr_decay), reproduced here as a schedule
+        # (first update: count=0 -> lr)
         inner = optax.scale_by_rss(initial_accumulator_value=0.0, eps=1e-10)
-    elif method == "adadelta":
+        parts = []
+        if wd:
+            parts.append(optax.add_decayed_weights(wd))
+        parts.append(inner)
+        parts.append(
+            optax.scale_by_schedule(lambda count: -lr / (1.0 + count * wd))
+        )
+        return optax.chain(*parts)
+    if method == "adadelta":
         inner = optax.scale_by_adadelta()
     elif method == "adam":
         inner = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)

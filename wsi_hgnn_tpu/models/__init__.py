@@ -3,8 +3,11 @@ from .homogeneous import GCN, GAT, GIN, NTPoolGCN, GraphConvLayer, GATConvLayer,
 from .heterogeneous import HetRGCN, HGT, HEATNet2, HEATNet4, HGTLayer, HEATLayer
 from .mlp import MLP2Layers, MLP4Layers
 from .layers import Pool, TypedDense, TypedHeads, MaskedBatchNorm
+from .asap import ASAPPooling, LEConv
 
 __all__ = [
+    "ASAPPooling",
+    "LEConv",
     "GCN", "GAT", "GIN", "NTPoolGCN",
     "HetRGCN", "HGT", "HEATNet2", "HEATNet4",
     "GraphConvLayer", "GATConvLayer", "GINConvLayer", "HGTLayer", "HEATLayer",

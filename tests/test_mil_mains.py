@@ -1,0 +1,166 @@
+"""RAConv golden test vs dense NumPy + train_mil.py gtn/h2mil k-fold mains
+on synthetic bags (VERDICT.md round-1 items 5)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wsi_hgnn_tpu.models.mil import RAConvLayer, TreeGraph
+from wsi_hgnn_tpu.models.mil.h2mil import build_tree_graph
+
+
+def leaky(x, s=0.2):
+    return np.where(x > 0, x, s * x)
+
+
+def dense_reference_raconv(x, edges, node_type, params, heads, c):
+    """Independent dense NumPy RAConv
+    (/root/reference/baselines/H2MIL/code/RAConv.py:24-185): node-level
+    attention softmaxed per (dst, src-resolution) group times a
+    resolution-level attention over per-group mean aggregates."""
+    n, d = x.shape
+    W = np.asarray(params["lin_l"]["kernel"], np.float64)
+    Wt = np.asarray(params["t_lin_l"]["kernel"], np.float64)
+    att_l = np.asarray(params["att_l"], np.float64)[0]   # [H, C]
+    att_r = np.asarray(params["att_r"], np.float64)[0]
+    t_att_l = np.asarray(params["t_att_l"], np.float64)[0]
+    t_att_r = np.asarray(params["t_att_r"], np.float64)[0]
+    bias = np.asarray(params["bias"], np.float64)
+
+    xl = (x @ W).reshape(n, heads, c)
+    alpha_l = (xl * att_l).sum(-1)  # [N, H]
+    alpha_r = (xl * att_r).sum(-1)
+
+    groups = {}
+    for (s, t) in edges:
+        g = t * 3 + int(node_type[s])
+        groups.setdefault(g, []).append((s, t))
+
+    # resolution-level attention over present groups, softmaxed per dst
+    t_alpha = {}
+    by_dst = {}
+    for g in groups:
+        by_dst.setdefault(g // 3, []).append(g)
+    for dstn, gs in by_dst.items():
+        logits = []
+        for g in gs:
+            t_x = np.mean([x[s] for (s, _) in groups[g]], axis=0)
+            tl = (t_x @ Wt).reshape(heads, c)
+            td = (x[dstn] @ Wt).reshape(heads, c)
+            logits.append(leaky((tl * t_att_l).sum(-1) + (td * t_att_r).sum(-1)))
+        logits = np.stack(logits)  # [G, H]
+        e = np.exp(logits - logits.max(0))
+        sm = e / e.sum(0)
+        for g, v in zip(gs, sm):
+            t_alpha[g] = v
+
+    # node-level attention softmaxed per group
+    out = np.zeros((n, heads, c))
+    for g, es in groups.items():
+        logits = np.stack([leaky(alpha_l[s] + alpha_r[t]) for (s, t) in es])
+        e = np.exp(logits - logits.max(0))
+        sm = e / e.sum(0)  # [E_g, H]
+        for (s, t), a in zip(es, sm):
+            out[t] += xl[s] * (a * t_alpha[g])[:, None]
+    return out.reshape(n, heads * c) + bias
+
+
+def test_raconv_matches_dense_numpy():
+    rng = np.random.RandomState(0)
+    n, d, h, c = 10, 6, 2, 4
+    x = rng.randn(n, d).astype(np.float32)
+    node_type = rng.randint(0, 3, n).astype(np.int32)
+    edges = set()
+    while len(edges) < 24:
+        s, t = rng.randint(0, n, 2)
+        if s != t:
+            edges.add((int(s), int(t)))
+    edges = sorted(edges)
+    src = np.asarray([e[0] for e in edges], np.int32)
+    dst = np.asarray([e[1] for e in edges], np.int32)
+
+    cap_n, cap_e = 16, 32
+    def pad(a, cap):
+        o = np.zeros((cap,) + a.shape[1:], a.dtype)
+        o[: len(a)] = a
+        return o
+    g = TreeGraph(
+        feats=pad(x, cap_n), src=pad(src, cap_e), dst=pad(dst, cap_e),
+        node_type=pad(node_type, cap_n), tree=np.zeros(cap_n, np.int32),
+        xy=np.zeros((cap_n, 2), np.float32),
+        node_mask=np.arange(cap_n) < n, edge_mask=np.arange(cap_e) < len(edges),
+    )
+    layer = RAConvLayer(features=c, heads=h)
+    params = layer.init(jax.random.PRNGKey(1), g, jnp.asarray(g.feats))["params"]
+    out = layer.apply({"params": params}, g, jnp.asarray(g.feats))
+
+    ref = dense_reference_raconv(
+        np.asarray(x, np.float64), edges, node_type,
+        jax.tree.map(np.asarray, params), h, c,
+    )
+    np.testing.assert_allclose(np.asarray(out)[:n], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_build_tree_graph_structure():
+    rng = np.random.RandomState(1)
+    n, d = 20, 8
+    feats = rng.randn(n, d).astype(np.float32)
+    xy = np.stack([np.arange(n) % 5, np.arange(n) // 5], 1)
+    t = build_tree_graph(feats, xy, cell=2)
+    n_real = int(t.node_mask.sum())
+    types = np.asarray(t.node_type)[:n_real]
+    assert types[0] == 0 and (types == 2).sum() == n
+    n1 = (types == 1).sum()
+    assert n1 >= 1
+    # every patch's parent is a level-1 node; every level-1's parent is root
+    tree = np.asarray(t.tree)[:n_real]
+    patch_ids = np.where(types == 2)[0]
+    assert np.all(types[tree[patch_ids]] == 1)
+    assert np.all(tree[np.where(types == 1)[0]] == 0)
+    # features of root = mean of patches
+    np.testing.assert_allclose(np.asarray(t.feats)[0], feats.mean(0), rtol=1e-5)
+
+
+def _write_synthetic_bags(tmpdir, n_bags=16, d=12, with_xy=True, seed=0):
+    """Direction-separable classes (GCNBlock L2-normalises node embeddings,
+    so a pure magnitude shift would be erased): class 1 shifts only the
+    first half of the feature dims."""
+    rng = np.random.RandomState(seed)
+    pattern = np.zeros(d, np.float32)
+    pattern[: d // 2] = 3.0
+    labels_path = os.path.join(str(tmpdir), "labels.csv")
+    rows = []
+    for i in range(n_bags):
+        label = i % 2
+        n = rng.randint(12, 25)
+        feats = rng.randn(n, d).astype(np.float32) + label * pattern
+        xy = np.stack([np.arange(n) % 5, np.arange(n) // 5], 1)
+        name = f"slide_{i:02d}"
+        if with_xy:
+            np.savez(os.path.join(str(tmpdir), name + ".npz"), feat=feats, xy=xy)
+        else:
+            np.save(os.path.join(str(tmpdir), name + ".npy"), feats)
+        rows.append(f"{name},{label}")
+    with open(labels_path, "w") as f:
+        f.write("\n".join(rows))
+    return labels_path
+
+
+@pytest.mark.parametrize("model", ["gtn", "h2mil"])
+def test_train_mil_graph_mains(tmp_path, model, capsys):
+    import train_mil
+
+    labels = _write_synthetic_bags(tmp_path)
+    out = train_mil.main([
+        "--model", model, "--feats-dir", str(tmp_path), "--labels", labels,
+        "--folds", "2", "--epochs", "8", "--lr", "1e-3",
+        "--hidden", "16", "--clusters", "8", "--k1", "4", "--k2", "8",
+    ])
+    assert set(out) >= {"acc_mean", "auc_mean", "f1_mean"}
+    assert np.isfinite(out["acc_mean"]) and np.isfinite(out["auc_mean"])
+    # separable synthetic classes: expect well above chance
+    assert out["auc_mean"] > 0.7, out

@@ -1,14 +1,25 @@
 """MIL baseline training entry point — the capability of the reference's
-baselines/ k-fold mains (train_remix_k-fold*.py, GTNMIL main_kfold.py,
-H2MIL main_baselines_kfold.py) behind one CLI.
+baselines/ k-fold mains behind one CLI:
+
+  * abmil / dsmil (+ ReMix latent augmentation) —
+    /root/reference/baselines/ReMix_DSMIL_ABMIL/train_remix_k-fold*.py
+  * gtn — GTNMIL GraphTransformer over the spatial 8-adjacency graph with
+    the mincut auxiliary loss — /root/reference/baselines/GTNMIL/main_kfold.py
+    (Adam weight_decay 5e-4 :118, CE loss, cosine LR anneal :120)
+  * h2mil — multi-resolution tree graph -> RAConv/IHPool GCN head —
+    /root/reference/baselines/H2MIL/code/main_baselines_kfold.py
+    (Adam lr, weight_decay 5e-4 :346, CE loss :242)
 
 Bags are per-slide feature files (.npy [N, D] or our graph .npz, whose
-`feat` array is the bag); labels come from a CSV `name,label` table or the
-TCGA normal-list convention. K-fold cross validation with mean/std
-reporting, ReMix latent augmentation optional for abmil/dsmil.
+`feat` array is the bag; an optional `xy` key of [N, 2] int tile coords
+feeds the graph models — otherwise a square raster grid is synthesised).
+Labels come from a CSV `name,label` table. K-fold cross validation with
+mean/std JSON reporting.
 
   python train_mil.py --model dsmil --feats-dir bags/ --labels labels.csv \
       --folds 5 --epochs 50 [--remix-mode cov --num-prototypes 8]
+  python train_mil.py --model gtn   --feats-dir bags/ --labels labels.csv
+  python train_mil.py --model h2mil --feats-dir bags/ --labels labels.csv
 """
 from __future__ import annotations
 
@@ -16,12 +27,13 @@ import argparse
 import glob
 import json
 import os
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
 
-def load_bags(feats_dir: str, labels_csv: str) -> Tuple[List[np.ndarray], np.ndarray, List[str]]:
+def load_bags(feats_dir: str, labels_csv: str):
+    """Returns (bags, labels, names, coords) — coords[i] is [N,2] int or None."""
     labels_map = {}
     with open(labels_csv) as f:
         for line in f:
@@ -30,42 +42,52 @@ def load_bags(feats_dir: str, labels_csv: str) -> Tuple[List[np.ndarray], np.nda
                 continue
             name, label = line.split(",")[:2]
             labels_map[name] = int(label)
-    bags, labels, names = [], [], []
+    bags, labels, names, coords = [], [], [], []
     for p in sorted(glob.glob(os.path.join(feats_dir, "*.np[yz]"))):
         name = os.path.basename(p).rsplit(".", 1)[0]
         if name not in labels_map:
             continue
+        xy = None
         if p.endswith(".npz"):
             with np.load(p) as z:
                 feats = z["feat"]
+                if "xy" in z:
+                    xy = np.asarray(z["xy"], np.int64)
         else:
             feats = np.load(p)
         bags.append(np.asarray(feats, np.float32))
         labels.append(labels_map[name])
         names.append(name)
-    return bags, np.asarray(labels, np.int64), names
+        coords.append(xy)
+    return bags, np.asarray(labels, np.int64), names, coords
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--model", choices=["abmil", "dsmil"], default="dsmil")
-    ap.add_argument("--feats-dir", required=True)
-    ap.add_argument("--labels", required=True, help="CSV name,label")
-    ap.add_argument("--folds", type=int, default=5)
-    ap.add_argument("--epochs", type=int, default=50)
-    ap.add_argument("--lr", type=float, default=2e-4)
-    ap.add_argument("--num-classes", type=int, default=2)
-    ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--remix-mode", default=None,
-                    choices=[None, "replace", "append", "interpolate", "cov", "joint"])
-    ap.add_argument("--remix-rate", type=float, default=0.3)
-    ap.add_argument("--num-prototypes", type=int, default=8)
-    args = ap.parse_args()
+def grid_coords(n: int) -> np.ndarray:
+    """Square raster-grid fallback when tile coordinates are unknown."""
+    w = int(np.ceil(np.sqrt(n)))
+    i = np.arange(n)
+    return np.stack([i % w, i // w], 1).astype(np.int64)
 
-    from wsi_hgnn_tpu.utils import ensure_backend
 
-    ensure_backend()
+def kfold_indices(n: int, folds: int, rng: np.random.RandomState):
+    order = rng.permutation(n)
+    return np.array_split(order, folds)
 
+
+def summarize(model_name: str, fold_metrics: List[Tuple[float, float, float]]):
+    fm = np.asarray(fold_metrics, float)
+    out = {
+        "model": model_name,
+        "acc_mean": float(np.nanmean(fm[:, 0])), "acc_std": float(np.nanstd(fm[:, 0])),
+        "f1_mean": float(np.nanmean(fm[:, 1])), "f1_std": float(np.nanstd(fm[:, 1])),
+        "auc_mean": float(np.nanmean(fm[:, 2])), "auc_std": float(np.nanstd(fm[:, 2])),
+    }
+    print(json.dumps(out))
+    return out
+
+
+# ------------------------------------------------------------------------- #
+def run_bag_models(args, bags, labels):
     import jax
     import jax.numpy as jnp
     import optax
@@ -74,14 +96,8 @@ def main():
                                          pad_bag, reduce_bag)
     from wsi_hgnn_tpu.train.metrics import accuracy, metrics
 
-    bags, labels, names = load_bags(args.feats_dir, args.labels)
-    if not bags:
-        raise SystemExit("no bags found")
-    print(f"{len(bags)} bags, classes: {np.bincount(labels)}")
-
     rng = np.random.RandomState(args.seed)
-    order = rng.permutation(len(bags))
-    folds = np.array_split(order, args.folds)
+    folds = kfold_indices(len(bags), args.folds, rng)
 
     if args.model == "abmil":
         model = ABMIL(num_classes=args.num_classes)
@@ -90,12 +106,10 @@ def main():
 
     cap = max(int(np.ceil(max(len(b) for b in bags) * (2.0 if args.remix_mode else 1.0))), 8)
 
-    def fwd_logits(params, feats, mask, key):
+    def fwd_logits(params, feats, mask):
         if args.model == "abmil":
             return model.apply(params, feats, mask)
-        classes, bag_logits, _, _ = model.apply(
-            params, feats, mask, train=False
-        )
+        classes, bag_logits, _, _ = model.apply(params, feats, mask, train=False)
         # dsmil loss combines bag and max-instance logits (reference trainer)
         masked = jnp.where(mask[:, None], classes, -1e30)
         return 0.5 * bag_logits + 0.5 * masked.max(0, keepdims=True)
@@ -105,24 +119,22 @@ def main():
     @jax.jit
     def train_step(params, opt_state, feats, mask, label):
         def loss_fn(p):
-            logits = fwd_logits(p, feats, mask, None)
-            return -jax.nn.log_softmax(logits)[0, label]
+            return -jax.nn.log_softmax(fwd_logits(p, feats, mask))[0, label]
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     @jax.jit
     def eval_step(params, feats, mask):
-        return jax.nn.softmax(fwd_logits(params, feats, mask, None))
+        return jax.nn.softmax(fwd_logits(params, feats, mask))
 
     fold_metrics = []
     for fi in range(args.folds):
         test_idx = folds[fi]
         train_idx = np.concatenate([folds[j] for j in range(args.folds) if j != fi])
 
-        # ReMix "reduce" stage: training bags become their K-means prototype
-        # bags, with per-prototype semantic-shift vectors (reduce.py:10-48);
-        # evaluation stays on the full bags.
+        # ReMix "reduce": training bags become K-means prototype bags with
+        # per-prototype semantic-shift vectors (reduce.py:10-48)
         shifts = None
         if args.remix_mode:
             reduced = [reduce_bag(bags[i], args.num_prototypes) for i in train_idx]
@@ -147,7 +159,7 @@ def main():
                         semantic_shifts=shifts, rng=rng,
                     )
                 f, m = pad_bag(feats, capacity=cap)
-                params, opt_state, loss = train_step(
+                params, opt_state, _ = train_step(
                     params, opt_state, jnp.asarray(f), jnp.asarray(m),
                     int(labels[i]),
                 )
@@ -159,17 +171,193 @@ def main():
             ys.append(labels[i])
         probs, ys = np.asarray(probs), np.asarray(ys)
         acc = accuracy(probs, ys)
-        precision, recall, f1, aucv = metrics(probs, ys, "binary" if args.num_classes == 2 else "macro")
+        _, _, f1, aucv = metrics(probs, ys, "binary" if args.num_classes == 2 else "macro")
         fold_metrics.append((acc, f1, aucv))
         print(f"fold {fi}: acc {acc:.4f} f1 {f1:.4f} auc {aucv:.4f}")
+    return summarize(args.model, fold_metrics)
 
-    fm = np.asarray(fold_metrics, float)
-    print(json.dumps({
-        "model": args.model,
-        "acc_mean": float(np.nanmean(fm[:, 0])), "acc_std": float(np.nanstd(fm[:, 0])),
-        "f1_mean": float(np.nanmean(fm[:, 1])), "f1_std": float(np.nanstd(fm[:, 1])),
-        "auc_mean": float(np.nanmean(fm[:, 2])), "auc_std": float(np.nanstd(fm[:, 2])),
-    }))
+
+# ------------------------------------------------------------------------- #
+def run_gtn(args, bags, labels, coords):
+    """GTNMIL: spatial 8-adjacency graph -> GraphTransformer, CE + mincut
+    auxiliary loss, Adam wd 5e-4 with cosine LR anneal (main_kfold.py:118-120)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from wsi_hgnn_tpu.graph.typed_graph import bucket_size
+    from wsi_hgnn_tpu.models.mil import GraphTransformer, pad_bag, spatial_adjacency
+    from wsi_hgnn_tpu.train.metrics import accuracy, metrics
+
+    rng = np.random.RandomState(args.seed)
+    folds = kfold_indices(len(bags), args.folds, rng)
+    d = bags[0].shape[1]
+    cap = bucket_size(max(len(b) for b in bags), base=64)
+
+    def make_inputs(i):
+        feats, mask = pad_bag(bags[i], capacity=cap)
+        xy = coords[i] if coords[i] is not None else grid_coords(len(bags[i]))
+        src, dst = spatial_adjacency([tuple(c) for c in xy])
+        adj = np.zeros((cap, cap), np.float32)
+        adj[src, dst] = 1.0
+        return (jnp.asarray(feats[None]), jnp.asarray(adj[None]),
+                jnp.asarray(mask[None]))
+
+    model = GraphTransformer(
+        n_class=args.num_classes, in_dim=d,
+        embed_dim=args.hidden, node_cluster_num=args.clusters,
+    )
+    sched = optax.cosine_decay_schedule(args.lr, max(args.epochs, 1), 5e-6 / max(args.lr, 1e-12))
+    tx = optax.chain(optax.add_decayed_weights(5e-4),
+                     optax.scale_by_adam(),
+                     optax.scale_by_schedule(lambda c: -sched(c // max(len(bags), 1))))
+
+    @jax.jit
+    def train_step(params, opt_state, feats, adj, mask, label):
+        def loss_fn(p):
+            logits, aux = model.apply(p, feats, adj, mask)
+            return -jax.nn.log_softmax(logits)[0, label] + aux
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def eval_step(params, feats, adj, mask):
+        logits, _ = model.apply(params, feats, adj, mask)
+        return jax.nn.softmax(logits)[0]
+
+    fold_metrics = []
+    for fi in range(args.folds):
+        test_idx = folds[fi]
+        train_idx = np.concatenate([folds[j] for j in range(args.folds) if j != fi])
+        f0, a0, m0 = make_inputs(train_idx[0])
+        params = model.init(jax.random.PRNGKey(args.seed), f0, a0, m0)
+        opt_state = tx.init(params)
+        for epoch in range(args.epochs):
+            for j in rng.permutation(len(train_idx)):
+                i = train_idx[j]
+                f, a, m = make_inputs(i)
+                params, opt_state, _ = train_step(params, opt_state, f, a, m, int(labels[i]))
+        probs = np.asarray([np.asarray(eval_step(params, *make_inputs(i))) for i in test_idx])
+        ys = labels[test_idx]
+        acc = accuracy(probs, ys)
+        _, _, f1, aucv = metrics(probs, ys, "binary" if args.num_classes == 2 else "macro")
+        fold_metrics.append((acc, f1, aucv))
+        print(f"fold {fi}: acc {acc:.4f} f1 {f1:.4f} auc {aucv:.4f}")
+    return summarize("gtn", fold_metrics)
+
+
+# ------------------------------------------------------------------------- #
+def run_h2mil(args, bags, labels, coords):
+    """H2MIL: synthesised multi-resolution tree -> RAConv/IHPool head, CE,
+    Adam wd 5e-4 (main_baselines_kfold.py:346, :242)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from wsi_hgnn_tpu.graph.typed_graph import bucket_size
+    from wsi_hgnn_tpu.models.mil import H2MIL
+    from wsi_hgnn_tpu.models.mil.h2mil import build_tree_graph
+    from wsi_hgnn_tpu.train.metrics import accuracy, metrics
+
+    rng = np.random.RandomState(args.seed)
+    folds = kfold_indices(len(bags), args.folds, rng)
+
+    trees = []
+    max_n = max_e = 0
+    for b, xy in zip(bags, coords):
+        xy = xy if xy is not None else grid_coords(len(b))
+        t = build_tree_graph(b, xy, cell=args.cell)
+        max_n = max(max_n, int(t.node_mask.sum()))
+        max_e = max(max_e, int(t.edge_mask.sum()))
+    cap_n, cap_e = bucket_size(max_n, base=64), bucket_size(max_e, base=64)
+    for b, xy in zip(bags, coords):
+        xy = xy if xy is not None else grid_coords(len(b))
+        trees.append(build_tree_graph(b, xy, cell=args.cell,
+                                      node_capacity=cap_n, edge_capacity=cap_e))
+
+    model = H2MIL(hidden_dim=args.hidden, n_classes=args.num_classes,
+                  k1=args.k1, k2=args.k2)
+    tx = optax.chain(optax.add_decayed_weights(5e-4),
+                     optax.scale_by_adam(), optax.scale(-args.lr))
+
+    def to_dev(t):
+        return jax.tree.map(jnp.asarray, t)
+
+    @jax.jit
+    def train_step(params, opt_state, tree, label):
+        def loss_fn(p):
+            logits = model.apply(p, tree)
+            return -jax.nn.log_softmax(logits)[0, label]
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def eval_step(params, tree):
+        return jax.nn.softmax(model.apply(params, tree))[0]
+
+    fold_metrics = []
+    for fi in range(args.folds):
+        test_idx = folds[fi]
+        train_idx = np.concatenate([folds[j] for j in range(args.folds) if j != fi])
+        params = model.init(jax.random.PRNGKey(args.seed), to_dev(trees[train_idx[0]]))
+        opt_state = tx.init(params)
+        for epoch in range(args.epochs):
+            for j in rng.permutation(len(train_idx)):
+                i = train_idx[j]
+                params, opt_state, _ = train_step(
+                    params, opt_state, to_dev(trees[i]), int(labels[i])
+                )
+        probs = np.asarray([np.asarray(eval_step(params, to_dev(trees[i]))) for i in test_idx])
+        ys = labels[test_idx]
+        acc = accuracy(probs, ys)
+        _, _, f1, aucv = metrics(probs, ys, "binary" if args.num_classes == 2 else "macro")
+        fold_metrics.append((acc, f1, aucv))
+        print(f"fold {fi}: acc {acc:.4f} f1 {f1:.4f} auc {aucv:.4f}")
+    return summarize("h2mil", fold_metrics)
+
+
+# ------------------------------------------------------------------------- #
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=["abmil", "dsmil", "gtn", "h2mil"], default="dsmil")
+    ap.add_argument("--feats-dir", required=True)
+    ap.add_argument("--labels", required=True, help="CSV name,label")
+    ap.add_argument("--folds", type=int, default=5)
+    ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--num-classes", type=int, default=2)
+    ap.add_argument("--seed", type=int, default=0)
+    # gtn / h2mil hyper-parameters
+    ap.add_argument("--hidden", type=int, default=64)
+    ap.add_argument("--clusters", type=int, default=100,
+                    help="gtn mincut cluster count (GraphTransformer.py:31)")
+    ap.add_argument("--cell", type=int, default=4,
+                    help="h2mil synthetic parent-level block size (tiles)")
+    ap.add_argument("--k1", type=int, default=8)
+    ap.add_argument("--k2", type=int, default=32)
+    # ReMix (abmil/dsmil only)
+    ap.add_argument("--remix-mode", default=None,
+                    choices=[None, "replace", "append", "interpolate", "cov", "joint"])
+    ap.add_argument("--remix-rate", type=float, default=0.3)
+    ap.add_argument("--num-prototypes", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    from wsi_hgnn_tpu.utils import ensure_backend
+
+    ensure_backend()
+
+    bags, labels, names, coords = load_bags(args.feats_dir, args.labels)
+    if not bags:
+        raise SystemExit("no bags found")
+    print(f"{len(bags)} bags, classes: {np.bincount(labels)}")
+
+    if args.model in ("abmil", "dsmil"):
+        return run_bag_models(args, bags, labels)
+    if args.model == "gtn":
+        return run_gtn(args, bags, labels, coords)
+    return run_h2mil(args, bags, labels, coords)
 
 
 if __name__ == "__main__":

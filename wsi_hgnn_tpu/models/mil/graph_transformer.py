@@ -23,8 +23,10 @@ from flax import linen as nn
 
 
 class GCNBlock(nn.Module):
-    """Dense masked GCN layer (GTNMIL models/gcn.py): add_self, masked BN,
-    embedding L2-normalisation, ReLU."""
+    """Dense masked GCN layer (GTNMIL models/gcn.py:342-396): adj matmul,
+    optional add_self, linear, per-node L2 embedding normalisation, ReLU.
+    BatchNorm is OFF — the reference's GCN wrapper hard-codes `self.bn = 0`
+    (gcn.py:19), so its BN branch never runs."""
 
     features: int
     add_self: bool = True
@@ -37,17 +39,11 @@ class GCNBlock(nn.Module):
         if self.add_self:
             y = y + x
         y = nn.Dense(self.features, name="weight")(y)
-        # masked batch norm over real nodes
-        m = mask[:, :, None]
-        cnt = jnp.maximum(m.sum(), 1.0)
-        mean = (y * m).sum((0, 1)) / cnt
-        var = (((y - mean) ** 2) * m).sum((0, 1)) / cnt
-        scale = self.param("bn_scale", nn.initializers.ones, (self.features,))
-        bias = self.param("bn_bias", nn.initializers.zeros, (self.features,))
-        y = (y - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
         if self.normalize_embedding:
-            y = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-12)
-        y = nn.relu(y) * m
+            # rsqrt(sum^2 + eps): jnp.linalg.norm has a NaN gradient at the
+            # all-zero padding rows
+            y = y * jax.lax.rsqrt((y * y).sum(-1, keepdims=True) + 1e-12)
+        y = nn.relu(y) * mask[:, :, None]
         return y
 
 

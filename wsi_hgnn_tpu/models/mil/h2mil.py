@@ -48,6 +48,104 @@ class TreeGraph(NamedTuple):
     edge_mask: jax.Array  # [E]
 
 
+def build_tree_graph(
+    feats,
+    coords,
+    cell: int = 4,
+    node_capacity: Optional[int] = None,
+    edge_capacity: Optional[int] = None,
+    bucket_base: int = 256,
+) -> TreeGraph:
+    """Build the H2MIL multi-resolution tree from ONE magnification level.
+
+    The reference constructs its tree from a 2-level DeepZoom pyramid
+    (5x + 10x) with per-level 8-neighbour adjacency plus parent-child
+    links (`edge_index_tree_8nb`, /root/reference/baselines/H2MIL/code/
+    WSI_processing + main_baselines_kfold.py data fields node_type/
+    node_tree/x_y_index). When only single-level features exist (the
+    train_mil bag contract), the low-resolution level is synthesised by
+    grouping patches into `cell` x `cell` tile blocks whose features are
+    the block means — the same tree topology with a virtual parent level.
+
+    Returns a padded TreeGraph: node 0 is the thumbnail/root (global mean,
+    type 0), then one type-1 node per occupied block, then the type-2
+    patches. Edges: root<->level-1, parent<->child, and 8-neighbour
+    adjacency within each level (both directions).
+    """
+    import numpy as np
+
+    from ...graph.typed_graph import bucket_size
+    from .simclr import spatial_adjacency
+
+    feats = np.asarray(feats, np.float32)
+    coords = np.asarray(coords, np.int64)
+    n2, d = feats.shape
+
+    block = [tuple(c // cell) for c in coords]
+    blocks = sorted(set(block))
+    bidx = {b: i for i, b in enumerate(blocks)}
+    n1 = len(blocks)
+    parent1 = np.asarray([bidx[b] for b in block], np.int32)  # patch -> block
+
+    f1 = np.zeros((n1, d), np.float32)
+    np.add.at(f1, parent1, feats)
+    cnt = np.bincount(parent1, minlength=n1).astype(np.float32)
+    f1 /= np.maximum(cnt, 1.0)[:, None]
+    xy1 = np.zeros((n1, 2), np.float64)
+    np.add.at(xy1, parent1, coords.astype(np.float64))
+    xy1 /= np.maximum(cnt, 1.0)[:, None]
+
+    root_feat = feats.mean(0, keepdims=True)
+    root_xy = coords.astype(np.float64).mean(0, keepdims=True)
+
+    # node layout: [root, level-1 blocks, level-2 patches]
+    off1, off2 = 1, 1 + n1
+    n = off2 + n2
+    all_feats = np.concatenate([root_feat, f1, feats], 0)
+    all_xy = np.concatenate([root_xy, xy1, coords.astype(np.float64)], 0)
+    node_type = np.concatenate(
+        [np.zeros(1, np.int32), np.ones(n1, np.int32), np.full(n2, 2, np.int32)]
+    )
+    tree = np.concatenate(
+        [np.zeros(1, np.int32), np.zeros(n1, np.int32), off1 + parent1]
+    )
+
+    src2, dst2 = spatial_adjacency([tuple(c) for c in coords])
+    src1, dst1 = spatial_adjacency(blocks)
+    srcs = [off2 + src2, off1 + src1]
+    dsts = [off2 + dst2, off1 + dst1]
+    # parent<->child + root<->level-1 (both directions)
+    child = np.arange(n2, dtype=np.int32) + off2
+    srcs += [child, tree[child], off1 + np.arange(n1, dtype=np.int32),
+             np.zeros(n1, np.int32)]
+    dsts += [tree[child], child, np.zeros(n1, np.int32),
+             off1 + np.arange(n1, dtype=np.int32)]
+    src = np.concatenate(srcs).astype(np.int32)
+    dst = np.concatenate(dsts).astype(np.int32)
+    e = len(src)
+
+    cap_n = node_capacity or bucket_size(n, base=bucket_base)
+    cap_e = edge_capacity or bucket_size(e, base=bucket_base)
+    if cap_n < n or cap_e < e:
+        raise ValueError(f"tree capacity too small: {n}>{cap_n} or {e}>{cap_e}")
+
+    def pad(x, cap, fill=0):
+        out = np.full((cap,) + x.shape[1:], fill, dtype=x.dtype)
+        out[: x.shape[0]] = x
+        return out
+
+    return TreeGraph(
+        feats=pad(all_feats, cap_n),
+        src=pad(src, cap_e),
+        dst=pad(dst, cap_e),
+        node_type=pad(node_type, cap_n),
+        tree=pad(tree, cap_n),
+        xy=pad(all_xy.astype(np.float32), cap_n),
+        node_mask=np.arange(cap_n) < n,
+        edge_mask=np.arange(cap_e) < e,
+    )
+
+
 class RAConvLayer(nn.Module):
     """Resolution-aware attention convolution (RAConv.py:24-185)."""
 

@@ -218,3 +218,39 @@ def test_stage_timer():
     assert "outer/inner" in rep
     t.reset()
     assert not t.totals
+
+
+def test_sorted_edges_equivalence():
+    """sort_graph_edges: every model-visible quantity is identical on the
+    sorted graph (the edge store is a set; order is an implementation
+    detail), and the dst sequence really is non-decreasing."""
+    import numpy as np
+    import jax
+    from wsi_hgnn_tpu.graph import from_arrays, batch_graphs, ops
+    from wsi_hgnn_tpu.graph.batch import sort_graph_edges
+
+    rng = np.random.RandomState(5)
+    gs = []
+    for _ in range(3):
+        n, e = rng.randint(10, 20), rng.randint(30, 60)
+        gs.append(from_arrays(
+            rng.randn(n, 8).astype(np.float32), rng.randint(0, n, e),
+            rng.randint(0, n, e), node_type=rng.randint(0, 4, n),
+            esign=rng.randint(0, 2, e), sim=rng.randn(e), n_node_types=4,
+        ))
+    gb = batch_graphs(gs, node_capacity=64, edge_capacity=256)
+    gbs = sort_graph_edges(gb)
+    assert gbs.edges_sorted and not gb.edges_sorted
+    assert bool(np.all(np.diff(np.asarray(gbs.dst)) >= 0))
+    assert int(gbs.edge_mask.sum()) == int(gb.edge_mask.sum())
+
+    scores = np.asarray(gb.sim)
+    att_u = np.asarray(ops.edge_softmax_by_dst_rel(gb, jnp.asarray(scores)))
+    att_s = np.asarray(ops.edge_softmax_by_dst_rel(gbs, jnp.asarray(gbs.sim)))
+    vals = np.asarray(gb.feat)
+    out_u = np.asarray(ops.u_mul_e_sum(gb, jnp.asarray(vals), jnp.asarray(att_u[:, None])))
+    out_s = np.asarray(ops.u_mul_e_sum(gbs, jnp.asarray(vals), jnp.asarray(att_s[:, None])))
+    np.testing.assert_allclose(out_u, out_s, rtol=1e-5, atol=1e-6)
+    deg_u = np.asarray(gb.degrees()[1])
+    deg_s = np.asarray(gbs.degrees()[1])
+    np.testing.assert_allclose(deg_u, deg_s)

@@ -19,6 +19,7 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..graph import TypedGraph, batch_graphs
+from ..graph.batch import sort_graph_edges
 from ..graph.typed_graph import bucket_size
 
 
@@ -33,6 +34,7 @@ class GraphLoader:
         edge_capacity: Optional[int] = None,
         bucket_base: int = 1024,
         prefetch: int = 2,
+        sort_edges: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -42,6 +44,10 @@ class GraphLoader:
         self.edge_capacity = edge_capacity
         self.bucket_base = bucket_base
         self.prefetch = prefetch
+        # pre-sort batch edges by the dst-major segment key so every
+        # dst-keyed segment reduction runs a sorted scatter (host-side,
+        # native counting sort; graph.batch.sort_graph_edges)
+        self.sort_edges = sort_edges
 
     def __len__(self):
         return (len(self.dataset) + self.batch_size - 1) // self.batch_size
@@ -65,6 +71,8 @@ class GraphLoader:
             edge_capacity=self.edge_capacity,
             bucket_base=self.bucket_base,
         )
+        if self.sort_edges:
+            gb = sort_graph_edges(gb)
         return gb, np.asarray(labels, np.int32), np.asarray(weights, np.float32)
 
     def _index_batches(self) -> List[List[int]]:

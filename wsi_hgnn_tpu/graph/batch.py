@@ -18,6 +18,46 @@ import numpy as np
 from .typed_graph import TypedGraph, bucket_size
 
 
+def sort_graph_edges(g: TypedGraph) -> TypedGraph:
+    """Host-side edge sort by the segment key dst*(ET*T) + esign*T + src_type
+    — the exact grouping of `ops.edge_softmax_by_dst_rel` — with padding
+    edges moved to the end (dst rewritten to the last node slot so the dst
+    sequence stays non-decreasing). Marks `edges_sorted=True`, which every
+    dst-keyed segment op turns into `indices_are_sorted=True` on its scatter
+    (PERF_NOTES roadmap #4). Uses the native C++ counting sort when built
+    (native.sort_edges_native), NumPy stable argsort otherwise."""
+    from ..native import sort_edges_native
+
+    src = np.asarray(g.src)
+    dst = np.asarray(g.dst)
+    esign = np.asarray(g.esign)
+    sim = np.asarray(g.sim)
+    emask = np.asarray(g.edge_mask)
+    node_type = np.asarray(g.node_type)
+
+    t, et = g.n_node_types, g.n_edge_types
+    n_combo = et * t
+    cap_n = g.num_nodes
+    key = dst.astype(np.int64) * n_combo + esign * t + node_type[src]
+    pad_key = np.int64(cap_n) * n_combo
+    key = np.where(emask, key, pad_key)
+    perm = sort_edges_native(key, int(pad_key) + 1)
+    if perm is None:
+        perm = np.argsort(key, kind="stable")
+
+    dst = np.where(emask, dst, cap_n - 1)
+    ew = g.edge_weight
+    return g.replace(
+        src=src[perm],
+        dst=dst[perm],
+        esign=esign[perm],
+        sim=sim[perm],
+        edge_mask=emask[perm],
+        edge_weight=None if ew is None else np.asarray(ew)[perm],
+        edges_sorted=True,
+    )
+
+
 def batch_graphs(
     graphs: Sequence[TypedGraph],
     *,

@@ -27,6 +27,7 @@ def segment_softmax(
     segment_ids: jax.Array,
     num_segments: int,
     mask: Optional[jax.Array] = None,
+    indices_are_sorted: bool = False,
 ) -> jax.Array:
     """Numerically-stable softmax of `scores` within each segment.
 
@@ -38,14 +39,20 @@ def segment_softmax(
     if mask is not None:
         m = mask if scores.ndim == mask.ndim else mask[:, None]
         scores = jnp.where(m, scores, _NEG_INF)
-    seg_max = jax.ops.segment_max(scores, segment_ids, num_segments=num_segments)
+    seg_max = jax.ops.segment_max(
+        scores, segment_ids, num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
     seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
     shifted = scores - seg_max[segment_ids]
     exp = jnp.exp(shifted)
     if mask is not None:
         m = mask if exp.ndim == mask.ndim else mask[:, None]
         exp = jnp.where(m, exp, 0.0)
-    denom = jax.ops.segment_sum(exp, segment_ids, num_segments=num_segments)
+    denom = jax.ops.segment_sum(
+        exp, segment_ids, num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
     denom = jnp.where(denom > 0, denom, 1.0)
     return exp / denom[segment_ids]
 
@@ -66,8 +73,10 @@ def edge_softmax_by_dst_rel(g: TypedGraph, scores: jax.Array) -> jax.Array:
     combo = g.esign * t + g.node_type[g.src]  # (esign, src_type)
     n_combo = g.n_edge_types * t
     seg = g.dst * n_combo + combo
+    # seg is exactly the sort key of batch.sort_graph_edges
     return segment_softmax(
-        scores, seg, num_segments=g.num_nodes * n_combo, mask=g.edge_mask
+        scores, seg, num_segments=g.num_nodes * n_combo, mask=g.edge_mask,
+        indices_are_sorted=g.edges_sorted,
     )
 
 
@@ -89,7 +98,9 @@ def copy_e_sum(g: TypedGraph, edge_vals: jax.Array) -> jax.Array:
     edge_vals = _apply_edge_weight(g, edge_vals)
     m = g.edge_mask
     ev = jnp.where(m.reshape((-1,) + (1,) * (edge_vals.ndim - 1)), edge_vals, 0.0)
-    return jax.ops.segment_sum(ev, g.dst, num_segments=g.num_nodes)
+    return jax.ops.segment_sum(
+        ev, g.dst, num_segments=g.num_nodes, indices_are_sorted=g.edges_sorted
+    )
 
 
 def u_mul_e_sum(g: TypedGraph, node_vals: jax.Array, edge_vals: jax.Array) -> jax.Array:
@@ -116,7 +127,9 @@ def copy_u_max(g: TypedGraph, node_vals: jax.Array) -> jax.Array:
     msgs = _apply_edge_weight(g, node_vals[g.src])
     m = g.edge_mask.reshape((-1,) + (1,) * (msgs.ndim - 1))
     msgs = jnp.where(m, msgs, _NEG_INF)
-    out = jax.ops.segment_max(msgs, g.dst, num_segments=g.num_nodes)
+    out = jax.ops.segment_max(
+        msgs, g.dst, num_segments=g.num_nodes, indices_are_sorted=g.edges_sorted
+    )
     return jnp.where(out <= _NEG_INF / 2, 0.0, out)
 
 

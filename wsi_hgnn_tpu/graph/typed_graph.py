@@ -68,6 +68,13 @@ class TypedGraph:
     n_graphs: int = struct.field(pytree_node=False, default=1)
     n_node_types: int = struct.field(pytree_node=False, default=1)
     n_edge_types: int = struct.field(pytree_node=False, default=2)
+    # True when edges are sorted by dst-major key
+    # (dst * n_edge_types*T + esign*T + src_type) with padding edges keyed
+    # to the end (see graph.batch.sort_graph_edges); lets every dst-keyed
+    # segment reduction set `indices_are_sorted=True` on its XLA scatter.
+    # Sortedness survives to_homogeneous (the homo key dst*2+esign is a
+    # prefix-order of the typed key) and the mask-only training transforms.
+    edges_sorted: bool = struct.field(pytree_node=False, default=False)
 
     # ------------------------------------------------------------------ #
     @property
@@ -135,7 +142,10 @@ class TypedGraph:
         """
         ones = self.edge_mask.astype(jnp.float32)
         out_deg = jax.ops.segment_sum(ones, self.src, num_segments=self.num_nodes)
-        in_deg = jax.ops.segment_sum(ones, self.dst, num_segments=self.num_nodes)
+        in_deg = jax.ops.segment_sum(
+            ones, self.dst, num_segments=self.num_nodes,
+            indices_are_sorted=self.edges_sorted,
+        )
         if implicit_self_loops:
             real = self.node_mask.astype(jnp.float32)
             out_deg = out_deg + real

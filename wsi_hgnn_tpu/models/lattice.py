@@ -96,7 +96,7 @@ def _rel_presence(g: LatticeGraph, t: int):
         g.mask.astype(jnp.int32).reshape(-1), g.ntypes.reshape(-1),
         num_segments=t,
     )
-    return dst_denom, node_counts > 0, dty
+    return dst_denom, node_counts > 0
 
 
 class HEATLayerLattice(nn.Module):
@@ -113,7 +113,7 @@ class HEATLayerLattice(nn.Module):
     agg_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, g: LatticeGraph, h: jax.Array, dst_denom, dty,
+    def __call__(self, g: LatticeGraph, h: jax.Array, dst_denom,
                  train: bool = False) -> jax.Array:
         t = self.n_types
         b, n, k = g.idx.shape
@@ -205,7 +205,7 @@ class HEATNet4Lattice(nn.Module):
     def __call__(self, g: LatticeGraph, train: bool = False) -> jax.Array:
         t = self.n_node_types
         b, n, _ = g.feats.shape
-        dst_denom, type_present, dty = _rel_presence(g, t)
+        dst_denom, type_present = _rel_presence(g, t)
         pres = type_present.astype(g.feats.dtype)
 
         flat = TypedDense(t, self.hidden_dim, name="adapt_ws")(
@@ -216,7 +216,7 @@ class HEATNet4Lattice(nn.Module):
             h = HEATLayerLattice(
                 t, self.hidden_dim, self.n_heads, self.dropout,
                 agg_dtype=self.agg_dtype, name=f"gcs_{i}"
-            )(g, h, dst_denom, dty, train)
+            )(g, h, dst_denom, train)
 
         pooled = _pool_mean_by_type(g, h, t)  # [B, T, hidden]
         out_h = TypedHeads(t, self.embed_dim, name="linears_prediction")(pooled)
@@ -250,7 +250,7 @@ class HEATNet2Lattice(nn.Module):
     def __call__(self, g: LatticeGraph, train: bool = False) -> jax.Array:
         t = self.n_node_types
         b, n, _ = g.feats.shape
-        dst_denom, type_present, dty = _rel_presence(g, t)
+        dst_denom, type_present = _rel_presence(g, t)
         pres = type_present.astype(g.feats.dtype)
 
         flat = TypedDense(t, self.hidden_dim, name="adapt_ws")(
@@ -261,7 +261,7 @@ class HEATNet2Lattice(nn.Module):
             h = HEATLayerLattice(
                 t, self.hidden_dim, self.n_heads, self.dropout,
                 agg_dtype=self.agg_dtype, name=f"gcs_{i}"
-            )(g, h, dst_denom, dty, train)
+            )(g, h, dst_denom, train)
 
         pooled = _pool_mean_by_type(g, h, t)
         heads = TypedHeads(t, self.out_dim, name="linears_prediction")(pooled)

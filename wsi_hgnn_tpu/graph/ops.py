@@ -28,6 +28,7 @@ def segment_softmax(
     num_segments: int,
     mask: Optional[jax.Array] = None,
     indices_are_sorted: bool = False,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     """Numerically-stable softmax of `scores` within each segment.
 
@@ -35,6 +36,10 @@ def segment_softmax(
     (/root/reference/models/HGT.py:101). `scores` is [E] or [E, H]; the
     softmax groups are rows sharing `segment_ids`. Masked-out entries get
     probability 0 and do not influence their segment's normalisation.
+
+    With `axis_name` (graph-context parallelism: each device holds one edge
+    shard), the segment max and denominator combine across the mesh axis
+    with pmax/psum, so the per-edge result equals the unsharded softmax.
     """
     if mask is not None:
         m = mask if scores.ndim == mask.ndim else mask[:, None]
@@ -43,6 +48,11 @@ def segment_softmax(
         scores, segment_ids, num_segments=num_segments,
         indices_are_sorted=indices_are_sorted,
     )
+    # the max is only a numerical stabiliser (cancels in the softmax), so
+    # it carries no gradient — required: pmax has no differentiation rule
+    seg_max = jax.lax.stop_gradient(seg_max)
+    if axis_name is not None:
+        seg_max = jax.lax.pmax(seg_max, axis_name)
     seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
     shifted = scores - seg_max[segment_ids]
     exp = jnp.exp(shifted)
@@ -53,6 +63,8 @@ def segment_softmax(
         exp, segment_ids, num_segments=num_segments,
         indices_are_sorted=indices_are_sorted,
     )
+    if axis_name is not None:
+        denom = jax.lax.psum(denom, axis_name)
     denom = jnp.where(denom > 0, denom, 1.0)
     return exp / denom[segment_ids]
 
@@ -76,7 +88,7 @@ def edge_softmax_by_dst_rel(g: TypedGraph, scores: jax.Array) -> jax.Array:
     # seg is exactly the sort key of batch.sort_graph_edges
     return segment_softmax(
         scores, seg, num_segments=g.num_nodes * n_combo, mask=g.edge_mask,
-        indices_are_sorted=g.edges_sorted,
+        indices_are_sorted=g.edges_sorted, axis_name=g.edge_axis,
     )
 
 
@@ -98,9 +110,12 @@ def copy_e_sum(g: TypedGraph, edge_vals: jax.Array) -> jax.Array:
     edge_vals = _apply_edge_weight(g, edge_vals)
     m = g.edge_mask
     ev = jnp.where(m.reshape((-1,) + (1,) * (edge_vals.ndim - 1)), edge_vals, 0.0)
-    return jax.ops.segment_sum(
+    out = jax.ops.segment_sum(
         ev, g.dst, num_segments=g.num_nodes, indices_are_sorted=g.edges_sorted
     )
+    if g.edge_axis is not None:
+        out = jax.lax.psum(out, g.edge_axis)
+    return out
 
 
 def u_mul_e_sum(g: TypedGraph, node_vals: jax.Array, edge_vals: jax.Array) -> jax.Array:
@@ -130,6 +145,11 @@ def copy_u_max(g: TypedGraph, node_vals: jax.Array) -> jax.Array:
     out = jax.ops.segment_max(
         msgs, g.dst, num_segments=g.num_nodes, indices_are_sorted=g.edges_sorted
     )
+    if g.edge_axis is not None:
+        # differentiable cross-shard max: all_gather + max (pmax has no
+        # differentiation rule; here the max IS the output, unlike the
+        # softmax stabiliser)
+        out = jax.lax.all_gather(out, g.edge_axis).max(0)
     return jnp.where(out <= _NEG_INF / 2, 0.0, out)
 
 

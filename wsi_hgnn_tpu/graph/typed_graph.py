@@ -75,6 +75,13 @@ class TypedGraph:
     # Sortedness survives to_homogeneous (the homo key dst*2+esign is a
     # prefix-order of the typed key) and the mask-only training transforms.
     edges_sorted: bool = struct.field(pytree_node=False, default=False)
+    # Graph-context parallelism (SURVEY.md §2.4 SP analog): when set to a
+    # mesh axis name, this graph's edge arrays hold only THIS device's shard
+    # of the edge store (parallel.big_graph.shard_edges) and every
+    # edge-keyed segment reduction combines its partial result across the
+    # axis with psum/pmax. Node arrays stay replicated. The unmodified
+    # models then compute exactly the single-device answer under shard_map.
+    edge_axis: Optional[str] = struct.field(pytree_node=False, default=None)
 
     # ------------------------------------------------------------------ #
     @property
@@ -131,7 +138,10 @@ class TypedGraph:
         """
         rel = self.edge_rel()
         ones = self.edge_mask.astype(jnp.int32)
-        return jax.ops.segment_sum(ones, rel, num_segments=self.n_relations)
+        counts = jax.ops.segment_sum(ones, rel, num_segments=self.n_relations)
+        if self.edge_axis is not None:
+            counts = jax.lax.psum(counts, self.edge_axis)
+        return counts
 
     def degrees(self, implicit_self_loops: bool = False):
         """(out_degree[N], in_degree[N]) over real edges.
@@ -146,6 +156,9 @@ class TypedGraph:
             ones, self.dst, num_segments=self.num_nodes,
             indices_are_sorted=self.edges_sorted,
         )
+        if self.edge_axis is not None:
+            out_deg = jax.lax.psum(out_deg, self.edge_axis)
+            in_deg = jax.lax.psum(in_deg, self.edge_axis)
         if implicit_self_loops:
             real = self.node_mask.astype(jnp.float32)
             out_deg = out_deg + real

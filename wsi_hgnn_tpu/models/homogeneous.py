@@ -115,7 +115,8 @@ class GATConvLayer(nn.Module):
         er = (z * attn_r).sum(-1)
         e = nn.leaky_relu(el[g.src] + er[g.dst], negative_slope=self.negative_slope)
         alpha = ops.segment_softmax(
-            e, g.dst, num_segments=g.num_nodes, mask=g.edge_mask
+            e, g.dst, num_segments=g.num_nodes, mask=g.edge_mask,
+            indices_are_sorted=g.edges_sorted, axis_name=g.edge_axis,
         )
         alpha = nn.Dropout(self.attn_drop, deterministic=not train)(alpha)
         out = ops.u_mul_e_sum(g, z, alpha[:, :, None])  # [N, H, F]

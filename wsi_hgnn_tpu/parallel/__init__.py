@@ -8,6 +8,7 @@ from .mesh import (
     stack_graphs,
 )
 from .dp import make_dp_train_step, place_state
+from .big_graph import make_big_graph_train_step, shard_edges, sharded_apply
 
 __all__ = [
     "DATA_AXIS",
@@ -18,4 +19,7 @@ __all__ = [
     "stack_graphs",
     "make_dp_train_step",
     "place_state",
+    "make_big_graph_train_step",
+    "shard_edges",
+    "sharded_apply",
 ]

@@ -1,43 +1,53 @@
-"""Graph-context parallelism — edge/node sharding for graphs that exceed
-one core's HBM (SURVEY.md §2.4 'SP analog', BASELINE.json north star).
+"""Graph-context parallelism — edge sharding for graphs that exceed one
+core's HBM (SURVEY.md §2.4 'SP analog', BASELINE.json north star).
 
 The reference's scale ceiling is host RAM on a single device
 (/root/reference/construct_graph/extractor.py:71-77, batch sizes 1-2 in
 every config). Here a padded graph's EDGE store — the dominant memory and
-compute (per-edge attention scores, messages) — shards across the mesh via
-`shard_map`; node features are all-gathered per layer and aggregated
-contributions are `psum`-reduced over ICI. Segment statistics (per-(dst,
-relation) softmax max/sum, relation presence) are computed locally and
-combined with `psum`/`pmax`, so the sharded computation is bit-comparable
-to the single-device one.
+compute (per-edge attention scores, messages) — shards across the mesh,
+while node features and parameters stay replicated.
 
-Usage: `shard_edges(g, n_dev)` reshapes the edge arrays to a leading device
-axis; `heat_layer_sharded` is the flagship HEATLayer forward over the mesh
-(parameters replicated), verified equal to models.HEATLayer on a virtual
-CPU mesh in tests/test_big_graph.py.
+Design: the segment primitives themselves are collective-aware. A
+TypedGraph whose static `edge_axis` names a mesh axis makes every
+edge-keyed reduction (`ops.segment_softmax`, `ops.copy_e_sum`,
+`ops.copy_u_max`, `TypedGraph.rel_edge_counts`, `TypedGraph.degrees`)
+combine its per-shard partial result with `psum`/`pmax` over ICI. The
+UNMODIFIED flax models — the full HEAT2/HEAT4/HGT/GCN/GAT/GIN zoo, all
+layers and pooling — then compute exactly the single-device answer when
+run under `shard_map` with sharded edge arrays, forward AND backward
+(shard_map transposes psum/pmax). No per-model sharded re-implementation
+exists to drift out of sync.
+
+API:
+  * `shard_edges(g, n_dev)`  — reshape edge arrays to [n_dev, E/n_dev].
+  * `sharded_apply(model, mesh, is_hetero)` — jitted full-model forward.
+  * `make_big_graph_train_step(model, tx, loss_fcn, is_hetero, mesh)` —
+    the FULL training step (augmentation, forward, loss, backward, update)
+    with the graph's edges sharded over the mesh; gradients equal the
+    single-device step (tests/test_big_graph.py).
+
+The trainer picks this path automatically when a batch's edge store
+exceeds `train.big_graph_edge_threshold` and the mesh has >1 device.
 """
 from __future__ import annotations
 
-import math
 from functools import partial
-from typing import Dict
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..graph import TypedGraph
+from ..graph import TypedGraph, to_homogeneous, transforms
 from .mesh import DATA_AXIS
-
-_NEG_INF = -1e30
 
 
 def shard_edges(g: TypedGraph, n_dev: int) -> TypedGraph:
     """Reshape edge arrays to [n_dev, E/n_dev] (edge capacity must divide).
 
-    Node arrays stay whole (replicated/all-gathered); edge arrays get a
-    leading mesh axis for shard_map.
+    Node arrays stay whole (replicated); edge arrays get a leading mesh
+    axis for shard_map. `edge_axis` is NOT set here — it is set inside the
+    shard_map body where each device sees its local slice.
     """
     e = g.num_edges
     if e % n_dev != 0:
@@ -53,102 +63,122 @@ def shard_edges(g: TypedGraph, n_dev: int) -> TypedGraph:
     )
 
 
-def heat_layer_sharded(
-    params: Dict,
-    g: TypedGraph,          # edge arrays [n_dev, E_loc], node arrays whole
-    h: jax.Array,           # [N, hidden] node features (replicated)
+def _graph_specs(g: TypedGraph, axis: str) -> TypedGraph:
+    """A TypedGraph-shaped pytree of PartitionSpecs: edge leaves sharded on
+    `axis`, node leaves replicated."""
+    return g.replace(
+        feat=P(), node_type=P(), node_graph=P(), node_mask=P(),
+        src=P(axis), dst=P(axis), esign=P(axis), sim=P(axis),
+        edge_mask=P(axis),
+        edge_weight=None if g.edge_weight is None else P(axis),
+    )
+
+
+def _local_graph(g: TypedGraph, axis: str) -> TypedGraph:
+    """Inside shard_map: strip the [1, E_loc] leading axis and mark the
+    graph edge-sharded so segment ops psum/pmax over `axis`."""
+    return g.replace(
+        src=g.src[0], dst=g.dst[0], esign=g.esign[0], sim=g.sim[0],
+        edge_mask=g.edge_mask[0],
+        edge_weight=None if g.edge_weight is None else g.edge_weight[0],
+        edge_axis=axis,
+    )
+
+
+def sharded_apply(
+    model,
     mesh: Mesh,
-    n_heads: int,
-) -> jax.Array:
-    """models.HEATLayer forward with edges sharded over the mesh.
+    is_hetero: bool = True,
+    axis: str = DATA_AXIS,
+) -> Callable:
+    """Jitted `(variables, g_sharded) -> logits` full-model forward with the
+    edge store sharded over the mesh."""
 
-    `params` is the flax param tree of one HEATLayer ('k_linears',
-    'q_linears', 'v_linears', 'a_linears', 'e_linear', 'skip'). Replicated
-    node projections, per-shard edge attention, psum-combined segment
-    statistics and aggregation.
+    def fwd(variables, g):
+        specs = _graph_specs(g, axis)
+
+        @partial(jax.shard_map, mesh=mesh, in_specs=(P(), specs),
+                 out_specs=P())
+        def run(variables, g):
+            g_loc = _local_graph(g, axis)
+            if not is_hetero:
+                g_loc = to_homogeneous(g_loc)
+            return model.apply(variables, g_loc, train=False)
+
+        return run(variables, g)
+
+    return jax.jit(fwd)
+
+
+def make_big_graph_train_step(
+    model,
+    tx,
+    loss_fcn,
+    is_hetero: bool,
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+    augment: bool = True,
+) -> Callable:
+    """The full edge-sharded training step:
+    `(state, g_sharded, labels, weights) -> (state, loss, probs)` — same
+    contract as the trainer's single-device `_train_step` (train/trainer.py).
+
+    Augmentation: node-level transforms (DropNode, FeatMask) see replicated
+    node arrays and are bit-identical to single-device; DropEdge draws its
+    randomness per local edge slice (a different but equally-distributed
+    edge subset). `augment=False` gives the exact single-device gradients
+    (verified in tests/test_big_graph.py).
     """
-    t = g.n_node_types
-    out_dim = params["a_linears"]["bias"].shape[-1]
-    d_k = out_dim // n_heads
-    sqrt_dk = math.sqrt(d_k)
-    n = h.shape[0]
-    n_combo = g.n_edge_types * t
 
-    def typed(name, x):
-        w, b = params[name]["kernel"], params[name]["bias"]
-        all_out = jnp.einsum("nd,tdh->tnh", x, w)
-        return all_out[g.node_type, jnp.arange(n)] + b[g.node_type]
+    def step(state, g, labels, weights):
+        specs = _graph_specs(g, axis)
 
-    node_type = jnp.asarray(g.node_type)  # host graphs carry numpy leaves
-    node_mask = jnp.asarray(g.node_mask)
-    k = typed("k_linears", h).reshape(n, n_heads, d_k)
-    q = typed("q_linears", h).reshape(n, n_heads, d_k)
-    v = typed("v_linears", h).reshape(n, n_heads, d_k)
-
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                  P(DATA_AXIS), P(DATA_AXIS)),
-        out_specs=(P(), P()),
-    )
-    def edge_pass(k, q, v, src, dst, esign, emask, sim_w):
-        src, dst = src[0], dst[0]
-        esign, emask = esign[0], emask[0]
-        sim = sim_w[0]
-
-        ea = sim[:, None] * params["e_linear"]["kernel"][0, 0] + params["e_linear"]["bias"][0]
-        score = (q[dst] * k[src]).sum(-1) * ea / sqrt_dk  # [E_loc, H]
-
-        combo = esign * t + node_type[src]
-        seg = dst * n_combo + combo
-        score = jnp.where(emask[:, None], score, _NEG_INF)
-
-        # cross-shard segment max
-        loc_max = jax.ops.segment_max(score, seg, num_segments=n * n_combo)
-        seg_max = jax.lax.pmax(loc_max, DATA_AXIS)
-        seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
-        ex = jnp.exp(score - seg_max[seg])
-        ex = jnp.where(emask[:, None], ex, 0.0)
-        loc_den = jax.ops.segment_sum(ex, seg, num_segments=n * n_combo)
-        den = jax.lax.psum(loc_den, DATA_AXIS)
-        attn = ex / jnp.maximum(den, 1e-30)[seg]
-
-        msgs = v[src] * attn[:, :, None]
-        msgs = jnp.where(emask[:, None, None], msgs, 0.0)
-        loc_agg = jax.ops.segment_sum(msgs, dst, num_segments=n)
-        agg = jax.lax.psum(loc_agg, DATA_AXIS)  # [N, H, dk]
-
-        # relation presence for the cross_reducer='mean' denominator
-        rel = esign * (t * t) + node_type[src] * t + node_type[dst]
-        loc_counts = jax.ops.segment_sum(
-            emask.astype(jnp.int32), rel, num_segments=g.n_relations
+        @partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(), P(), specs, P(), P(), P()),
+            out_specs=(P(), P(), P(), P()),
         )
-        rel_counts = jax.lax.psum(loc_counts, DATA_AXIS)
-        return agg, rel_counts
+        def run(params, batch_stats, g, labels, weights, rng):
+            aug_key, drop_key = jax.random.split(jax.random.fold_in(rng, 1))
+            g_loc = _local_graph(g, axis)
+            if not is_hetero:
+                g_loc = to_homogeneous(g_loc)
+            if augment:
+                g_loc = transforms.train_transform(g_loc, aug_key)
 
-    agg, rel_counts = edge_pass(
-        k, q, v,
-        jnp.asarray(g.src), jnp.asarray(g.dst), jnp.asarray(g.esign),
-        jnp.asarray(g.edge_mask), jnp.asarray(g.sim),
-    )
-    agg = agg.reshape(n, out_dim)
+            def loss_fn(p):
+                variables = {"params": p}
+                mutable = False
+                if batch_stats:
+                    variables["batch_stats"] = batch_stats
+                    mutable = ["batch_stats"]
+                out = model.apply(
+                    variables, g_loc, train=True,
+                    rngs={"dropout": drop_key}, mutable=mutable,
+                )
+                logits, new_vars = out if mutable else (out, {})
+                loss = loss_fcn(logits, labels, weights)
+                return loss, (logits, new_vars.get("batch_stats", batch_stats))
 
-    present = rel_counts > 0
-    rel_ids = jnp.arange(g.n_relations)
-    dst_denom = jax.ops.segment_sum(
-        present.astype(jnp.float32), rel_ids % t, num_segments=t
-    )
-    denom = jnp.maximum(dst_denom, 1.0)[node_type][:, None]
-    t_agg = agg / denom
+            (loss, (logits, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            # grads of replicated params are already identical across the
+            # axis (every edge shard's contribution entered through a psum)
+            return grads, new_bs, loss, jax.nn.softmax(logits)
 
-    trans = (
-        jnp.einsum("nd,tdh->tnh", t_agg, params["a_linears"]["kernel"])[
-            node_type, jnp.arange(n)
-        ]
-        + params["a_linears"]["bias"][node_type]
-    )
-    alpha = jax.nn.sigmoid(params["skip"])[node_type][:, None]
-    mixed = trans * alpha + h * (1.0 - alpha)
-    keep = ((dst_denom > 0)[node_type] & node_mask)[:, None]
-    return jnp.where(keep, mixed, h)
+        grads, new_bs, loss, probs = run(
+            state.params, state.batch_stats, g, labels, weights, state.rng
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            rng=jax.random.split(state.rng)[0],
+            step=state.step + 1,
+        )
+        return new_state, loss, probs
+
+    return jax.jit(step)

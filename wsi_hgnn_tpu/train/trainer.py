@@ -94,6 +94,17 @@ class GNNTrainer:
         )
 
         cap_n, cap_e = dataset_capacities(self.train_data, self.batch_size)
+
+        # graph-context parallelism: when a batch's edge store exceeds the
+        # threshold and >1 device is available, shard edges over the mesh
+        # and train with the collective-aware step (parallel/big_graph.py) —
+        # the SP analog of SURVEY.md §2.4 for slides too big for one chip
+        n_dev = jax.local_device_count()
+        threshold = self.config_train.get("big_graph_edge_threshold", 1_000_000)
+        self._big_graph = n_dev > 1 and cap_e > threshold
+        if self._big_graph:
+            cap_e = ((cap_e + n_dev - 1) // n_dev) * n_dev
+
         self.loader = GraphLoader(
             self.train_data,
             self.batch_size,
@@ -106,7 +117,21 @@ class GNNTrainer:
         self.rng = jax.random.PRNGKey(seed)
         self.state: Optional[TrainState] = None
         self.start_epoch = 0
-        self._train_step = jax.jit(self._train_step_impl)
+        if self._big_graph:
+            from ..parallel import make_mesh
+            from ..parallel.big_graph import make_big_graph_train_step, shard_edges
+
+            mesh = make_mesh(n_dev)
+            inner = make_big_graph_train_step(
+                self.model, self.tx, self.loss_fcn, self.is_hetero, mesh
+            )
+            self._train_step = lambda state, g, labels, weights: inner(
+                state, shard_edges(g, n_dev), labels, weights
+            )
+            print(f"big-graph mode: edge store sharded over {n_dev} devices "
+                  f"(capacity {cap_e} > threshold {threshold})")
+        else:
+            self._train_step = jax.jit(self._train_step_impl)
         # eval datasets, loaders (with their one-off capacity scans) and the
         # compiled eval forward are built once and reused every epoch — the
         # reference reloads the checkpoint and rescans the split per epoch

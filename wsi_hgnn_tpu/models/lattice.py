@@ -99,6 +99,15 @@ def _rel_presence(g: LatticeGraph, t: int):
     return dst_denom, node_counts > 0
 
 
+def build_dst_onehot(g: LatticeGraph, dtype=jnp.float32) -> jax.Array:
+    """[B, N*k, N] masked one-hot destination matrix — the scatter of the
+    lattice aggregation expressed as a GEMM operand. Built ONCE per forward
+    and shared by every HEATLayerLattice (it depends only on the graph)."""
+    b, n, k = g.idx.shape
+    a = jax.nn.one_hot(g.idx.reshape(b, n * k), n, dtype=dtype)
+    return a * g.emask.reshape(b, n * k, 1).astype(dtype)
+
+
 class HEATLayerLattice(nn.Module):
     """models.HEATLayer on the lattice (same param tree).
 
@@ -114,7 +123,7 @@ class HEATLayerLattice(nn.Module):
 
     @nn.compact
     def __call__(self, g: LatticeGraph, h: jax.Array, dst_denom,
-                 train: bool = False) -> jax.Array:
+                 train: bool = False, a_mat: jax.Array = None) -> jax.Array:
         t = self.n_types
         b, n, k = g.idx.shape
         n_h, d_k = self.n_heads, self.out_dim // self.n_heads
@@ -141,10 +150,11 @@ class HEATLayerLattice(nn.Module):
         combo = g.esign * t + g.ntypes[:, :, None]          # [B, N, k]
         combo_oh = jax.nn.one_hot(combo, n_combo, dtype=h.dtype)
 
-        # one-hot destination matrix [B, N*k, N] — the scatter, as a GEMM
+        # one-hot destination matrix [B, N*k, N] — the scatter, as a GEMM;
+        # shared across layers when the caller passes it (PERF_NOTES #1)
         adt = jnp.bfloat16 if self.agg_dtype == "bfloat16" else h.dtype
-        a_mat = jax.nn.one_hot(g.idx.reshape(b, n * k), n, dtype=adt)
-        a_mat = a_mat * g.emask.reshape(b, n * k, 1).astype(adt)
+        if a_mat is None:
+            a_mat = build_dst_onehot(g, dtype=adt)
 
         # denominators per (dst, combo, head)
         num_flat = (combo_oh[..., :, None] * exp_s[..., None, :]).reshape(
@@ -212,11 +222,13 @@ class HEATNet4Lattice(nn.Module):
             g.feats.reshape(b * n, -1), g.ntypes.reshape(-1)
         )
         h = flat.reshape(b, n, self.hidden_dim)
+        adt = jnp.bfloat16 if self.agg_dtype == "bfloat16" else h.dtype
+        a_mat = build_dst_onehot(g, dtype=adt)
         for i in range(self.n_layers):
             h = HEATLayerLattice(
                 t, self.hidden_dim, self.n_heads, self.dropout,
                 agg_dtype=self.agg_dtype, name=f"gcs_{i}"
-            )(g, h, dst_denom, train)
+            )(g, h, dst_denom, train, a_mat=a_mat)
 
         pooled = _pool_mean_by_type(g, h, t)  # [B, T, hidden]
         out_h = TypedHeads(t, self.embed_dim, name="linears_prediction")(pooled)
@@ -257,11 +269,13 @@ class HEATNet2Lattice(nn.Module):
             g.feats.reshape(b * n, -1), g.ntypes.reshape(-1)
         )
         h = flat.reshape(b, n, self.hidden_dim)
+        adt = jnp.bfloat16 if self.agg_dtype == "bfloat16" else h.dtype
+        a_mat = build_dst_onehot(g, dtype=adt)
         for i in range(self.n_layers):
             h = HEATLayerLattice(
                 t, self.hidden_dim, self.n_heads, self.dropout,
                 agg_dtype=self.agg_dtype, name=f"gcs_{i}"
-            )(g, h, dst_denom, train)
+            )(g, h, dst_denom, train, a_mat=a_mat)
 
         pooled = _pool_mean_by_type(g, h, t)
         heads = TypedHeads(t, self.out_dim, name="linears_prediction")(pooled)

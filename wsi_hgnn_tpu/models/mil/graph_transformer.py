@@ -9,9 +9,11 @@ dense GCN block, soft-assigns nodes to 100 clusters, pools with the mincut
 objective (returning its mincut + orthogonality losses), prepends a cls
 token and runs a small transformer encoder.
 
-GraphCAM (the reference's relprop-LRP explanation, ViT.py) is provided as
-gradient x attention rollout (`graphcam`) — a documented substitution with
-the same usage surface.
+GraphCAM is the reference's true transformer-LRP relprop
+(models/ViT.py:341-385 + models/layers.py rules at alpha=1), implemented
+functionally in `relprop.py` and golden-tested against the torch reference;
+`graphcam` here maps the cls-token cluster relevances back to nodes through
+the softmaxed assignment matrix exactly as src/vis_graphcam.py:71-87 does.
 """
 from __future__ import annotations
 
@@ -78,19 +80,34 @@ def dense_mincut_pool(x, adj, s, mask):
 
 
 class TransformerBlock(nn.Module):
+    """Reference ViT block (ViT.py:243-264): pre-norm attention with a fused
+    bias-free qkv projection (qkv_bias=False, :141), scale = head_dim**-0.5,
+    then a pre-norm 2x GELU MLP (mlp_ratio=2.0, VisionTransformer :281).
+    Explicit q/k/v so the LRP relprop pass (relprop.py) can mirror it."""
+
     dim: int
     heads: int = 8
-    mlp_ratio: int = 4
+    mlp_ratio: float = 2.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = nn.LayerNorm()(x)
-        attn_out = nn.MultiHeadDotProductAttention(num_heads=self.heads, name="attn")(h)
-        x = x + attn_out
-        h = nn.LayerNorm()(x)
-        h = nn.Dense(self.dim * self.mlp_ratio)(h)
-        h = nn.gelu(h)
-        h = nn.Dense(self.dim)(h)
+        b, n, _ = x.shape
+        hd = self.dim // self.heads
+        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        qkv = nn.Dense(self.dim * 3, use_bias=False, name="qkv")(h)
+        # einops 'b n (qkv h d) -> qkv b h n d' (ViT.py:186)
+        qkv = qkv.reshape(b, n, 3, self.heads, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = jax.nn.softmax(
+            jnp.einsum("bhid,bhjd->bhij", q, k) * hd ** -0.5, axis=-1
+        )
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+        x = x + nn.Dense(self.dim, name="proj")(out)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, name="fc2")(h)
         return x + h
 
 
@@ -117,33 +134,22 @@ class GraphTransformer(nn.Module):
 
         for i in range(self.depth):
             x = TransformerBlock(self.embed_dim, name=f"blocks_{i}")(x, train)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)  # torch default eps
         logits = nn.Dense(self.n_class, name="head")(x[:, 0])
         return logits, mc1 + o1
 
 
 def graphcam(model: GraphTransformer, variables, node_feat, adj, mask,
-             class_idx: int) -> jnp.ndarray:
-    """Per-cluster importance by gradient-weighted attention surrogate:
-    d logits[class] / d pooled-cluster features, reduced to a per-cluster
-    score (substitution for the reference's transformer relprop GraphCAM)."""
+             class_idx: int,
+             method: str = "transformer_attribution") -> jnp.ndarray:
+    """GraphCAM: per-node relevance for `class_idx` via the reference's
+    transformer-LRP relprop (GraphTransformer.py:86-101 + ViT.py:341-385,
+    alpha=1, implemented in relprop.py), mapped from the 100 mincut
+    clusters back to nodes through the softmaxed assignment matrix exactly
+    as src/vis_graphcam.py:71-87 does (cam_node = softmax(s) @ cam)."""
+    from .relprop import vit_relprop
 
-    def cluster_path(x_pool_flat, adj_p):
-        k, d = model.node_cluster_num, model.embed_dim
-        x = x_pool_flat.reshape(1, k, d)
-        cls = variables["params"]["cls_token"]
-        x = jnp.concatenate([jnp.broadcast_to(cls, (1, 1, d)), x], axis=1)
-        for i in range(model.depth):
-            x = TransformerBlock(d, name=f"blocks_{i}").apply(
-                {"params": variables["params"][f"blocks_{i}"]}, x
-            )
-        x = nn.LayerNorm(name="norm").apply({"params": variables["params"]["norm"]}, x)
-        logits = nn.Dense(model.n_class, name="head").apply(
-            {"params": variables["params"]["head"]}, x[:, 0]
-        )
-        return logits[0, class_idx]
-
-    # recompute the pooled representation
+    # recompute the pooled cluster tokens (the ViT input)
     x = mask[:, :, None] * node_feat
     x = GCNBlock(model.embed_dim, name="conv1").apply(
         {"params": variables["params"]["conv1"]}, x, adj, mask
@@ -151,10 +157,15 @@ def graphcam(model: GraphTransformer, variables, node_feat, adj, mask,
     s = nn.Dense(model.node_cluster_num, name="pool1").apply(
         {"params": variables["params"]["pool1"]}, x
     )
-    x_pool, adj_p, _, _ = dense_mincut_pool(x, adj, s, mask)
-    grad = jax.grad(cluster_path)(x_pool.reshape(-1), adj_p)
-    k, d = model.node_cluster_num, model.embed_dim
-    cam_cluster = jnp.abs(grad.reshape(k, d) * x_pool.reshape(k, d)).sum(-1)
-    # scatter cluster importance back to nodes through the soft assignment
+    x_pool, _, _, _ = dense_mincut_pool(x, adj, s, mask)
+    cls = variables["params"]["cls_token"]
+    d = model.embed_dim
+    tokens = jnp.concatenate(
+        [jnp.broadcast_to(cls, (1, 1, d)), x_pool[:1]], axis=1
+    )
+    cam_cluster = vit_relprop(
+        variables["params"], tokens, class_idx, method=method
+    )  # [node_cluster_num]
+    # vis_graphcam.py:71-87: assignment = softmax(s), cam_node = assign @ cam
     s_soft = jax.nn.softmax(s, axis=-1)[0] * mask[0][:, None]
     return s_soft @ cam_cluster  # [N]

@@ -73,10 +73,23 @@ def make_cnn_encoder(name: str, config: Dict, hovernet_config: Dict,
         if ckpt and os.path.exists(str(ckpt)):
             variables = convert.merge_into(variables, convert.load_kimianet(ckpt))
 
-        @jax.jit
-        def fwd(imgs):
-            out_1, _ = model.apply(variables, imgs, train=False)
-            return out_1
+        if jax.default_backend() == "tpu":
+            # fused Pallas inference path (BN folded, one kernel per dense
+            # layer — see ops/pallas_densenet.py), ~5x the flax throughput;
+            # equality-tested in tests/test_pallas_densenet.py
+            from .densenet import fuse_kimianet, kimianet_fused_apply
+
+            fp = fuse_kimianet(variables, dtype=jnp.bfloat16)
+
+            @jax.jit
+            def fwd(imgs):
+                out_1, _ = kimianet_fused_apply(fp, imgs.astype(jnp.bfloat16))
+                return out_1.astype(jnp.float32)
+        else:
+            @jax.jit
+            def fwd(imgs):
+                out_1, _ = model.apply(variables, imgs, train=False)
+                return out_1
 
         def encode(patches: np.ndarray):
             return np.asarray(fwd(jnp.asarray(patches))), None

@@ -120,6 +120,7 @@ class HEATLayerLattice(nn.Module):
     n_heads: int
     dropout: float = 0.2
     agg_dtype: str = "float32"
+    agg_impl: str = "onehot"  # 'onehot' (XLA GEMM) | 'pallas' (no one-hot)
 
     @nn.compact
     def __call__(self, g: LatticeGraph, h: jax.Array, dst_denom,
@@ -150,20 +151,36 @@ class HEATLayerLattice(nn.Module):
         combo = g.esign * t + g.ntypes[:, :, None]          # [B, N, k]
         combo_oh = jax.nn.one_hot(combo, n_combo, dtype=h.dtype)
 
-        # one-hot destination matrix [B, N*k, N] — the scatter, as a GEMM;
-        # shared across layers when the caller passes it (PERF_NOTES #1)
+        # destination-indexed reductions: either GEMMs against a one-hot
+        # [B, N*k, N] (shared across layers via a_mat, PERF_NOTES #1) or the
+        # Pallas segment-GEMM kernel that never materialises it (#2)
         adt = jnp.bfloat16 if self.agg_dtype == "bfloat16" else h.dtype
-        if a_mat is None:
-            a_mat = build_dst_onehot(g, dtype=adt)
+        use_pallas = self.agg_impl == "pallas"
+        if use_pallas:
+            from ..ops.pallas_segment import segment_matmul_by_dst
+
+            interp = jax.default_backend() != "tpu"
+            idx_flat = g.idx.reshape(b, n * k)
+
+            def dst_reduce(vals):
+                return segment_matmul_by_dst(
+                    idx_flat, vals, n, interpret=interp
+                )
+        else:
+            if a_mat is None:
+                a_mat = build_dst_onehot(g, dtype=adt)
+
+            def dst_reduce(vals):
+                return jnp.einsum(
+                    "bem,beq->bmq", a_mat, vals,
+                    preferred_element_type=jnp.float32,
+                )
 
         # denominators per (dst, combo, head)
         num_flat = (combo_oh[..., :, None] * exp_s[..., None, :]).reshape(
             b, n * k, n_combo * n_h
         )
-        den = jnp.einsum(
-            "bem,beq->bmq", a_mat, num_flat.astype(adt),
-            preferred_element_type=jnp.float32,
-        ).reshape(b, n, n_combo, n_h)
+        den = dst_reduce(num_flat.astype(adt)).reshape(b, n, n_combo, n_h)
         den_edge = jax.vmap(lambda d_b, idx_b: d_b[idx_b])(den, g.idx)  # [B,N,k,combo,H]
         den_sel = jnp.take_along_axis(
             den_edge, combo[..., None, None], axis=3
@@ -172,10 +189,7 @@ class HEATLayerLattice(nn.Module):
 
         # aggregation: A^T (attn * v_src)
         msg = (attn[..., None] * vv[:, :, None]).reshape(b, n * k, n_h * d_k)
-        agg = jnp.einsum(
-            "bem,beq->bmq", a_mat, msg.astype(adt),
-            preferred_element_type=jnp.float32,
-        ).reshape(b * n, self.out_dim)
+        agg = dst_reduce(msg.astype(adt)).reshape(b * n, self.out_dim)
 
         denom = jnp.maximum(dst_denom, 1.0)[flat_ty][:, None]
         t_agg = agg / denom
@@ -210,6 +224,7 @@ class HEATNet4Lattice(nn.Module):
     graph_pooling_type: str = "mean"
     embed_dim: int = 256
     agg_dtype: str = "float32"
+    agg_impl: str = "onehot"
 
     @nn.compact
     def __call__(self, g: LatticeGraph, train: bool = False) -> jax.Array:
@@ -223,11 +238,13 @@ class HEATNet4Lattice(nn.Module):
         )
         h = flat.reshape(b, n, self.hidden_dim)
         adt = jnp.bfloat16 if self.agg_dtype == "bfloat16" else h.dtype
-        a_mat = build_dst_onehot(g, dtype=adt)
+        a_mat = (None if self.agg_impl == "pallas"
+                 else build_dst_onehot(g, dtype=adt))
         for i in range(self.n_layers):
             h = HEATLayerLattice(
                 t, self.hidden_dim, self.n_heads, self.dropout,
-                agg_dtype=self.agg_dtype, name=f"gcs_{i}"
+                agg_dtype=self.agg_dtype, agg_impl=self.agg_impl,
+                name=f"gcs_{i}"
             )(g, h, dst_denom, train, a_mat=a_mat)
 
         pooled = _pool_mean_by_type(g, h, t)  # [B, T, hidden]
@@ -257,6 +274,7 @@ class HEATNet2Lattice(nn.Module):
     dropout: float = 0.2
     graph_pooling_type: str = "mean"
     agg_dtype: str = "float32"
+    agg_impl: str = "onehot"
 
     @nn.compact
     def __call__(self, g: LatticeGraph, train: bool = False) -> jax.Array:
@@ -270,11 +288,13 @@ class HEATNet2Lattice(nn.Module):
         )
         h = flat.reshape(b, n, self.hidden_dim)
         adt = jnp.bfloat16 if self.agg_dtype == "bfloat16" else h.dtype
-        a_mat = build_dst_onehot(g, dtype=adt)
+        a_mat = (None if self.agg_impl == "pallas"
+                 else build_dst_onehot(g, dtype=adt))
         for i in range(self.n_layers):
             h = HEATLayerLattice(
                 t, self.hidden_dim, self.n_heads, self.dropout,
-                agg_dtype=self.agg_dtype, name=f"gcs_{i}"
+                agg_dtype=self.agg_dtype, agg_impl=self.agg_impl,
+                name=f"gcs_{i}"
             )(g, h, dst_denom, train, a_mat=a_mat)
 
         pooled = _pool_mean_by_type(g, h, t)

@@ -101,3 +101,29 @@ train: {loss: "CE"}
     leaves_1 = jax.tree.leaves(new_1.params)
     for a, b_ in zip(leaves_dp, leaves_1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-6)
+
+
+def test_dp_featurizer_matches_single_device():
+    """make_dp_featurizer: batch-sharded forward == unsharded forward."""
+    import flax.linen as nn
+
+    from wsi_hgnn_tpu.parallel import make_dp_featurizer, make_mesh
+
+    class TinyCNN(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(8, (3, 3), strides=2)(x)
+            x = nn.relu(x)
+            return nn.Dense(16)(x.mean(axis=(1, 2)))
+
+    model = TinyCNN()
+    rng = np.random.RandomState(0)
+    patches = jnp.asarray(rng.rand(8, 16, 16, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), patches[:1])
+
+    ref = np.asarray(model.apply(variables, patches))
+    mesh = make_mesh(jax.device_count())
+    fn = make_dp_featurizer(lambda v, p: model.apply(v, p), mesh)
+    out = fn(variables, patches)
+    assert len(set(d.device for d in out.addressable_shards)) == jax.device_count()
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)

@@ -2,6 +2,7 @@
 from .mesh import (
     DATA_AXIS,
     data_sharded,
+    make_dp_featurizer,
     make_mesh,
     replicated,
     shard_stacked,
@@ -13,6 +14,7 @@ from .big_graph import make_big_graph_train_step, shard_edges, sharded_apply
 __all__ = [
     "DATA_AXIS",
     "data_sharded",
+    "make_dp_featurizer",
     "make_mesh",
     "replicated",
     "shard_stacked",

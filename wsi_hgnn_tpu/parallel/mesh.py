@@ -68,3 +68,18 @@ def shard_stacked(stacked, mesh: Mesh):
     """Place a stacked pytree with its leading axis sharded over the mesh."""
     sh = data_sharded(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), stacked)
+
+
+def make_dp_featurizer(apply_fn, mesh: Mesh):
+    """Data-parallel featurizer forward: patches sharded on the batch dim,
+    params replicated — the TPU-native successor of the reference's
+    `torch.nn.DataParallel` around its featurizer CNNs
+    (/root/reference/construct_graph/graph_constructor.py:124,179).
+
+    apply_fn(variables, patches) -> features. XLA inserts the scatter over
+    ICI; there is no gather — downstream graph construction consumes the
+    sharded features in place. Batch size must be divisible by the mesh.
+    """
+    rep = replicated(mesh)
+    sh = data_sharded(mesh)
+    return jax.jit(apply_fn, in_shardings=(rep, sh), out_shardings=sh)

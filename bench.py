@@ -102,34 +102,49 @@ def measure_tpu() -> float:
         jax.random.PRNGKey(7), (POOL, CHUNK, PATCH, PATCH, 3), jnp.bfloat16
     )
 
-    @jax.jit
-    def cohort(pool, fp, hparams):
-        def slide(carry, i):
-            def feat_chunk(_, j):
-                patches = jax.lax.dynamic_index_in_dim(
-                    pool, (i.astype(jnp.int32) + j) % POOL, keepdims=False
+    def make_cohort(featurize):
+        @jax.jit
+        def cohort(pool, fp, hparams):
+            def slide(carry, i):
+                def feat_chunk(_, j):
+                    patches = jax.lax.dynamic_index_in_dim(
+                        pool, (i.astype(jnp.int32) + j) % POOL, keepdims=False
+                    )
+                    return None, featurize(fp, patches)
+                _, feats = jax.lax.scan(feat_chunk, None, jnp.arange(n_chunks))
+                feats = feats.reshape(1, N_PATCHES, FEAT_DIM).astype(jnp.float32)
+                # per-patch node type stands in for the HoVer-Net typing stage
+                # (a second CNN in the reference; not part of this metric)
+                ntypes = jnp.abs(feats[..., 0] * 1e4).astype(jnp.int32) % N_TYPES
+                mask = jnp.ones((1, N_PATCHES), bool)
+                g = build_lattice_device(
+                    feats, ntypes, mask, RADIUS, N_TYPES, knn_impl="pallas"
                 )
-                f, _ = kimianet_fused_apply(fp, patches)
-                return None, f
-            _, feats = jax.lax.scan(feat_chunk, None, jnp.arange(n_chunks))
-            feats = feats.reshape(1, N_PATCHES, FEAT_DIM).astype(jnp.float32)
-            # per-patch node type stands in for the HoVer-Net typing stage
-            # (a second CNN in the reference; not part of this metric)
-            ntypes = jnp.abs(feats[..., 0] * 1e4).astype(jnp.int32) % N_TYPES
-            mask = jnp.ones((1, N_PATCHES), bool)
-            g = build_lattice_device(
-                feats, ntypes, mask, RADIUS, N_TYPES, knn_impl="pallas"
+                logits = heat.apply(hparams, g, train=False)
+                return carry + logits.sum() + feats.sum() * 1e-6, None
+            s, _ = jax.lax.scan(
+                slide, jnp.float32(0), jnp.arange(COHORT_STEPS, dtype=jnp.float32)
             )
-            logits = heat.apply(hparams, g, train=False)
-            return carry + logits.sum() + feats.sum() * 1e-6, None
-        s, _ = jax.lax.scan(
-            slide, jnp.float32(0), jnp.arange(COHORT_STEPS, dtype=jnp.float32)
-        )
-        return s
+            return s
+        return cohort
 
     t0 = time.perf_counter()
-    s = cohort(pool, fp, hparams)
-    _ = np.asarray(s)
+    try:
+        cohort = make_cohort(lambda fp, p: kimianet_fused_apply(fp, p)[0])
+        s = cohort(pool, fp, hparams)
+        _ = np.asarray(s)
+    except Exception as e:  # safety net: fall back to the flax featurizer
+        log(f"fused Pallas featurizer path failed ({type(e).__name__}: {e}); "
+            "falling back to the flax path")
+        fp = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            kvars,
+        )
+        cohort = make_cohort(
+            lambda v, p: kimia.apply(v, p, train=False)[0].astype(jnp.bfloat16)
+        )
+        s = cohort(pool, fp, hparams)
+        _ = np.asarray(s)
     log(f"device: {jax.devices()[0]}; compile+first run "
         f"{time.perf_counter() - t0:.1f}s, checksum {float(s):.4f}")
 

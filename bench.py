@@ -55,11 +55,9 @@ def log(msg):
 def measure_tpu() -> float:
     import jax
 
-    try:  # persistent compile cache: repeat runs skip the ~4 min cold build
-        jax.config.update("jax_compilation_cache_dir", "/tmp/wsi_jaxcache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    except Exception:
-        pass
+    from wsi_hgnn_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()  # repeat runs skip the ~4 min cold kernel build
     import jax.numpy as jnp
 
     from wsi_hgnn_tpu.models.featurizers.densenet import (

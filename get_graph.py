@@ -13,7 +13,7 @@ from __future__ import annotations
 import argparse
 from pathlib import Path
 
-CONFIG_DIR = Path("./configs")
+CONFIG_DIR = Path(__file__).resolve().parent / "configs"
 
 
 def main():
@@ -39,9 +39,10 @@ def main():
     )
 
     from wsi_hgnn_tpu.config import load_config
-    from wsi_hgnn_tpu.utils import ensure_backend
+    from wsi_hgnn_tpu.utils import enable_compile_cache, ensure_backend
 
     ensure_backend()
+    enable_compile_cache()
 
     config = load_config(opt_path)
     print(f"Loaded configs from {opt_path}")

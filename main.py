@@ -14,7 +14,7 @@ import argparse
 import random
 from pathlib import Path
 
-CONFIG_DIR = Path("./configs")  # reference globals.py:3
+CONFIG_DIR = Path(__file__).resolve().parent / "configs"  # reference globals.py:3 (repo-anchored so CLIs work from any cwd)
 
 
 def main():
@@ -35,9 +35,10 @@ def main():
     random.seed(args.seed)
 
     from wsi_hgnn_tpu.config import load_config
-    from wsi_hgnn_tpu.utils import ensure_backend
+    from wsi_hgnn_tpu.utils import enable_compile_cache, ensure_backend
 
     ensure_backend()
+    enable_compile_cache()
 
     config = load_config(opt_path)
     print(f"Loaded configs from {opt_path}")

@@ -23,11 +23,9 @@ def main(batch: int = 2):
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/wsi_jaxcache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    except Exception:
-        pass
+    from wsi_hgnn_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
 
     import optax
 

@@ -344,9 +344,10 @@ def main(argv=None):
     ap.add_argument("--num-prototypes", type=int, default=8)
     args = ap.parse_args(argv)
 
-    from wsi_hgnn_tpu.utils import ensure_backend
+    from wsi_hgnn_tpu.utils import enable_compile_cache, ensure_backend
 
     ensure_backend()
+    enable_compile_cache()
 
     bags, labels, names, coords = load_bags(args.feats_dir, args.labels)
     if not bags:

@@ -164,3 +164,33 @@ def test_train_mil_graph_mains(tmp_path, model, capsys):
     assert np.isfinite(out["acc_mean"]) and np.isfinite(out["auc_mean"])
     # separable synthetic classes: expect well above chance
     assert out["auc_mean"] > 0.7, out
+
+
+def test_gtn_save_and_vis_graphcam(tmp_path):
+    """--save-dir persists fold params; tools/vis_graphcam.py renders the
+    reference's per-class GraphCAM (vis_graphcam.py:71-101 semantics)."""
+    import train_mil
+    from tools import vis_graphcam
+
+    labels = _write_synthetic_bags(tmp_path)
+    save_dir = str(tmp_path / "runs")
+    train_mil.main([
+        "--model", "gtn", "--feats-dir", str(tmp_path), "--labels", labels,
+        "--folds", "2", "--epochs", "2", "--lr", "1e-3",
+        "--hidden", "16", "--clusters", "8", "--save-dir", save_dir,
+    ])
+    ckpt = os.path.join(save_dir, "gtn_fold0.pkl")
+    assert os.path.exists(ckpt) and os.path.exists(
+        os.path.join(save_dir, "gtn_fold1.pkl"))
+
+    bag = sorted(p for p in os.listdir(str(tmp_path)) if p.endswith(".npz"))[0]
+    out = str(tmp_path / "cam")
+    vis_graphcam.main([
+        "--bag", os.path.join(str(tmp_path), bag), "--params", ckpt,
+        "--out", out,
+    ])
+    with np.load(out + ".npz") as z:
+        cams, probs = z["cam"], z["probs"]
+    assert cams.shape[0] == 2 and np.all(np.isfinite(cams))
+    assert cams.min() >= 0.0 and cams.max() <= 1.0
+    np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-4)

@@ -86,6 +86,24 @@ def summarize(model_name: str, fold_metrics: List[Tuple[float, float, float]]):
     return out
 
 
+
+def save_fold_params(save_dir, model_name, fold, params, meta):
+    """Persist a fold's trained params + rebuild metadata (the reference
+    mains torch.save each fold's state_dict; GTNMIL additionally feeds the
+    saved model to src/vis_graphcam.py — tools/vis_graphcam.py here)."""
+    import pickle
+
+    import jax
+
+    os.makedirs(save_dir, exist_ok=True)
+    path = os.path.join(save_dir, f"{model_name}_fold{fold}.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(
+            {"params": jax.tree.map(np.asarray, params), "meta": meta}, f
+        )
+    return path
+
+
 # ------------------------------------------------------------------------- #
 def run_bag_models(args, bags, labels):
     import jax
@@ -174,6 +192,10 @@ def run_bag_models(args, bags, labels):
         _, _, f1, aucv = metrics(probs, ys, "binary" if args.num_classes == 2 else "macro")
         fold_metrics.append((acc, f1, aucv))
         print(f"fold {fi}: acc {acc:.4f} f1 {f1:.4f} auc {aucv:.4f}")
+        if args.save_dir:
+            save_fold_params(args.save_dir, args.model, fi, params,
+                             dict(model=args.model, num_classes=args.num_classes,
+                                  in_dim=int(bags[0].shape[1]), cap=int(cap)))
     return summarize(args.model, fold_metrics)
 
 
@@ -244,6 +266,11 @@ def run_gtn(args, bags, labels, coords):
         _, _, f1, aucv = metrics(probs, ys, "binary" if args.num_classes == 2 else "macro")
         fold_metrics.append((acc, f1, aucv))
         print(f"fold {fi}: acc {acc:.4f} f1 {f1:.4f} auc {aucv:.4f}")
+        if args.save_dir:
+            save_fold_params(args.save_dir, "gtn", fi, params,
+                             dict(model="gtn", num_classes=args.num_classes,
+                                  hidden=args.hidden, clusters=args.clusters,
+                                  in_dim=int(d), cap=int(cap)))
     return summarize("gtn", fold_metrics)
 
 
@@ -315,6 +342,11 @@ def run_h2mil(args, bags, labels, coords):
         _, _, f1, aucv = metrics(probs, ys, "binary" if args.num_classes == 2 else "macro")
         fold_metrics.append((acc, f1, aucv))
         print(f"fold {fi}: acc {acc:.4f} f1 {f1:.4f} auc {aucv:.4f}")
+        if args.save_dir:
+            save_fold_params(args.save_dir, "h2mil", fi, params,
+                             dict(model="h2mil", num_classes=args.num_classes,
+                                  hidden=args.hidden, k1=args.k1, k2=args.k2,
+                                  in_dim=int(bags[0].shape[1])))
     return summarize("h2mil", fold_metrics)
 
 
@@ -342,6 +374,8 @@ def main(argv=None):
                     choices=[None, "replace", "append", "interpolate", "cov", "joint"])
     ap.add_argument("--remix-rate", type=float, default=0.3)
     ap.add_argument("--num-prototypes", type=int, default=8)
+    ap.add_argument("--save-dir", default=None,
+                    help="persist each fold's trained params (pickle)")
     args = ap.parse_args(argv)
 
     from wsi_hgnn_tpu.utils import enable_compile_cache, ensure_backend

@@ -53,14 +53,65 @@ def make_cnn_encoder(name: str, config: Dict, hovernet_config: Dict,
                 variables, convert.hovernet_torch_to_flax(sd, nr_types)
             )
 
-        @jax.jit
-        def fwd(imgs):
-            out, feats = model.apply(variables, imgs, train=False)
-            return out["tp"], feats
+        # stage-wise jits: one monolithic HoVer-Net XLA program is large
+        # enough to crash TPU AOT compilers, and so is fc1's 4 GB f32
+        # kernel ([32*32*1024, 1024]) even alone — on TPU the inference
+        # variables run bf16 (2 GB compiles fine; it is the production
+        # precision anyway), and encoder/decoder/feature-head compile as
+        # separate programs
+        run_vars = variables
+        in_dtype = jnp.float32
+        if jax.default_backend() == "tpu":
+            run_vars = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if getattr(a, "dtype", None) == np.float32 else a,
+                variables,
+            )
+            in_dtype = jnp.bfloat16
+
+        enc = jax.jit(
+            lambda imgs: model.apply(run_vars, imgs, method="encode")
+        )
+        dec_tp = jax.jit(
+            lambda d: model.apply(run_vars, "tp", d, method="decode_branch")
+        )
+        if jax.default_backend() == "tpu":
+            # even a lone program holding fc1's [1M, 1024] kernel crashes
+            # this AOT compiler; drive the contraction as a host loop of
+            # 64 MB-weight matmul programs (one compiled program total)
+            fc_k = np.asarray(variables["params"]["fc1"]["kernel"])
+            fc_b = jnp.asarray(
+                np.asarray(variables["params"]["fc1"]["bias"]), jnp.float32
+            )
+            n_chunks = 32
+            cs = fc_k.shape[0] // n_chunks
+            w_chunks = [
+                jnp.asarray(fc_k[i * cs:(i + 1) * cs], in_dtype)
+                for i in range(n_chunks)
+            ]
+            mm = jax.jit(
+                lambda xr, w, i: jax.lax.dynamic_index_in_dim(
+                    xr, i, axis=1, keepdims=False) @ w
+            )
+
+            def feat_head(d3):
+                xr = jnp.reshape(d3, (d3.shape[0], n_chunks, cs))
+                acc = None
+                for i, w in enumerate(w_chunks):
+                    part = mm(xr, w, i)
+                    acc = part if acc is None else acc + part
+                return acc.astype(jnp.float32) + fc_b
+        else:
+            feat_head = jax.jit(
+                lambda d3: model.apply(run_vars, d3, method="feature_head")
+            )
 
         def encode(patches: np.ndarray):
-            tp, feats = fwd(jnp.asarray(patches))
-            return np.asarray(feats), node_types_from_tp(np.asarray(tp), nr_types)
+            d = enc(jnp.asarray(patches, in_dtype))
+            tp = dec_tp(d)
+            feats = feat_head(d[3])
+            return (np.asarray(feats, np.float32),
+                    node_types_from_tp(np.asarray(tp, np.float32), nr_types))
 
         return encode
 

@@ -164,46 +164,103 @@ class DecoderBranch(nn.Module):
         return u0
 
 
+class ChunkedDense(nn.Module):
+    """nn.Dense with the contraction scanned over K-chunks. Param tree and
+    math are identical to nn.Dense (kernel [K, F] lecun-normal + bias); the
+    chunking keeps the XLA program small — HoVer-Net's fc1 kernel is
+    [32*32*1024, 1024] (1B params) and a single dot over K=1M operands can
+    crash/stall TPU AOT compilers."""
+
+    features: int
+    chunks: int = 32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        chunks = self.chunks if k % self.chunks == 0 else 1
+        xr = x.reshape(x.shape[0], chunks, k // chunks)
+        # checkpoint-loaded variables carry host numpy leaves by design
+        # (see CLAUDE.md); jnp.asarray so the scan can index them traced
+        wr = jnp.asarray(kernel).reshape(chunks, k // chunks, self.features)
+
+        def body(acc, i):
+            xc = jax.lax.dynamic_index_in_dim(xr, i, axis=1, keepdims=False)
+            wc = jax.lax.dynamic_index_in_dim(wr, i, axis=0, keepdims=False)
+            return acc + xc @ wc, None
+
+        acc, _ = jax.lax.scan(
+            body,
+            jnp.zeros((x.shape[0], self.features), x.dtype),
+            jnp.arange(chunks),
+        )
+        return acc + bias
+
+
 class HoVerNet(nn.Module):
-    """net_desc.py:10-144. Input NHWC float; mode 'fast' expects 256x256."""
+    """net_desc.py:10-144. Input NHWC float; mode 'fast' expects 256x256.
+
+    setup-style so the stages are separately jittable (`encode`,
+    `decode_branch`, `feature_head`): a single monolithic XLA program for
+    the whole net is large enough to crash/stall AOT compilers on some
+    TPU toolchains, while the stages each compile in ~2 min. `__call__`
+    composes the stages and is unchanged (activation-parity tested)."""
 
     nr_types: Optional[int] = 6
     mode: str = "fast"
     feat_dim: int = 1024
 
-    @nn.compact
-    def __call__(self, imgs: jax.Array, train: bool = False):
+    def setup(self):
         assert self.mode in ("original", "fast")
+        self.conv0 = nn.Conv(64, (7, 7), padding="VALID", use_bias=False)
+        self.bn0 = BNRelu()
+        self.d0 = ResidualBlock((64, 64, 256), 3, stride=1)
+        self.d1 = ResidualBlock((128, 128, 512), 4, stride=2)
+        self.d2 = ResidualBlock((256, 256, 1024), 6, stride=2)
+        self.d3 = ResidualBlock((512, 512, 2048), 3, stride=2)
+        self.conv_bot = nn.Conv(1024, (1, 1), padding="VALID", use_bias=False)
+        ksize = 5 if self.mode == "original" else 3
+        branches = ["np", "hv"] if self.nr_types is None else ["tp", "np", "hv"]
+        for name in branches:
+            ch = 2 if name != "tp" else self.nr_types
+            setattr(self, f"decoder_{name}", DecoderBranch(ch, ksize))
+        self.branches = branches
+        self.fc1 = ChunkedDense(self.feat_dim)
+
+    def encode(self, imgs: jax.Array, train: bool = False):
+        """Stem + pre-act ResNet50 + bottleneck conv -> cropped skips
+        (d0, d1, d2, d3) as the decoders consume them."""
         x = imgs
         if self.mode == "fast":
             x = tf_same_pad(x, 7, 1)
-        x = nn.Conv(64, (7, 7), padding="VALID", use_bias=False, name="conv0")(x)
-        x = BNRelu(name="bn0")(x, train)
-
-        d0 = ResidualBlock((64, 64, 256), 3, stride=1, name="d0")(x, train)
-        d1 = ResidualBlock((128, 128, 512), 4, stride=2, name="d1")(d0, train)
-        d2 = ResidualBlock((256, 256, 1024), 6, stride=2, name="d2")(d1, train)
-        d3 = ResidualBlock((512, 512, 2048), 3, stride=2, name="d3")(d2, train)
-        d3 = nn.Conv(1024, (1, 1), padding="VALID", use_bias=False, name="conv_bot")(d3)
-
+        x = self.bn0(self.conv0(x), train)
+        d0 = self.d0(x, train)
+        d1 = self.d1(d0, train)
+        d2 = self.d2(d1, train)
+        d3 = self.conv_bot(self.d3(d2, train))
         if self.mode == "original":
             d0 = crop_op(d0, (184, 184))
             d1 = crop_op(d1, (72, 72))
         else:
             d0 = crop_op(d0, (92, 92))
             d1 = crop_op(d1, (36, 36))
+        return d0, d1, d2, d3
 
-        ksize = 5 if self.mode == "original" else 3
-        out = {}
-        branches = ["np", "hv"] if self.nr_types is None else ["tp", "np", "hv"]
-        for name in branches:
-            ch = 2 if name != "tp" else self.nr_types
-            out[name] = DecoderBranch(ch, ksize, name=f"decoder_{name}")(
-                (d0, d1, d2, d3), train
-            )
+    def decode_branch(self, name: str, d, train: bool = False):
+        return getattr(self, f"decoder_{name}")(d, train)
 
-        features = nn.Dense(self.feat_dim, name="fc1")(d3.reshape(d3.shape[0], -1))
-        return out, features
+    def feature_head(self, d3: jax.Array):
+        """The repo's custom fc1 bottleneck feature (net_desc.py:38,142-144)."""
+        return self.fc1(d3.reshape(d3.shape[0], -1))
+
+    def __call__(self, imgs: jax.Array, train: bool = False):
+        d = self.encode(imgs, train)
+        out = {name: self.decode_branch(name, d, train)
+               for name in self.branches}
+        return out, self.feature_head(d[3])
 
 
 def node_types_from_tp(tp_map: np.ndarray, nr_types: int = 6) -> np.ndarray:

@@ -187,14 +187,16 @@ class ChunkedDense(nn.Module):
         # (see CLAUDE.md); jnp.asarray so the scan can index them traced
         wr = jnp.asarray(kernel).reshape(chunks, k // chunks, self.features)
 
+        out_dtype = jnp.result_type(x.dtype, wr.dtype)  # nn.Dense promotion
+
         def body(acc, i):
             xc = jax.lax.dynamic_index_in_dim(xr, i, axis=1, keepdims=False)
             wc = jax.lax.dynamic_index_in_dim(wr, i, axis=0, keepdims=False)
-            return acc + xc @ wc, None
+            return acc + (xc @ wc).astype(out_dtype), None
 
         acc, _ = jax.lax.scan(
             body,
-            jnp.zeros((x.shape[0], self.features), x.dtype),
+            jnp.zeros((x.shape[0], self.features), out_dtype),
             jnp.arange(chunks),
         )
         return acc + bias

@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(idx_ref, vals_ref, out_ref, *, n, e_tile, n_e_tiles):
+def _kernel(idx_ref, vals_ref, out_ref, *, n, e_tile):
     ei = pl.program_id(1)
 
     @pl.when(ei == 0)
@@ -62,7 +62,7 @@ def segment_matmul_by_dst(idx: jax.Array, vals: jax.Array, n: int,
     if not e_tile:
         raise ValueError(f"E={e} has no supported tile size")
     n_e_tiles = e // e_tile
-    kernel = partial(_kernel, n=n, e_tile=e_tile, n_e_tiles=n_e_tiles)
+    kernel = partial(_kernel, n=n, e_tile=e_tile)
     return pl.pallas_call(
         kernel,
         grid=(b, n_e_tiles),

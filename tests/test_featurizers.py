@@ -25,6 +25,11 @@ from wsi_hgnn_tpu.models.featurizers import (
     KimiaNet,
     convert,
     node_types_from_tp,
+    node_types_on_device,
+)
+from wsi_hgnn_tpu.models.featurizers.hovernet import (
+    hovernet_full_apply,
+    hovernet_typing_apply,
 )
 
 REF_HOVERNET = "/root/reference/models/hovernet"
@@ -112,6 +117,37 @@ def test_node_types_from_tp():
     types = node_types_from_tp(tp)
     assert types[0] == 0
     assert types[1] == 3
+
+
+def test_node_types_on_device_matches_host():
+    """The jittable typing head must agree with the host bincount loop,
+    including the all-background -> type 0 case and lowest-class ties."""
+    rng = np.random.RandomState(0)
+    tp = rng.randn(16, 12, 12, 6).astype(np.float32)
+    tp[:4, :, :, 1:] -= 100.0  # force all-background patches
+    host = node_types_from_tp(tp)
+    dev = np.asarray(node_types_on_device(jnp.asarray(tp)))
+    np.testing.assert_array_equal(host, dev)
+    assert (host[:4] == 0).all()
+
+
+def test_hovernet_single_program_paths():
+    """hovernet_typing_apply / hovernet_full_apply (the single-jit encoder
+    paths that replaced the round-2 staged jits) must match the reference
+    __call__ composition exactly."""
+    model = HoVerNet(nr_types=6, mode="fast")
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 256, 256, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out, feats = model.apply(variables, x, train=False)
+    expect_types = node_types_from_tp(np.asarray(out["tp"]))
+
+    types = np.asarray(hovernet_typing_apply(model, variables, x))
+    np.testing.assert_array_equal(types, expect_types)
+
+    f2, t2 = hovernet_full_apply(model, variables, x)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(feats),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(t2), expect_types)
 
 
 def test_kimianet_output_dims():

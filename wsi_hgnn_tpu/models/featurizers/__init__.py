@@ -2,33 +2,95 @@
 encoder registry the graph-construction pipeline consumes."""
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
 
 from .densenet import DenseNet121, KimiaNet
 from .efficientnet import EfficientNet
 from .effnetv2 import EffNetV2
-from .hovernet import HoVerNet, node_types_from_tp
+from .hovernet import (
+    HoVerNet,
+    hovernet_full_apply,
+    hovernet_typing_apply,
+    node_types_from_tp,
+    node_types_on_device,
+)
 from . import convert
 
 __all__ = [
     "DenseNet121", "KimiaNet", "EfficientNet", "EffNetV2", "HoVerNet",
-    "node_types_from_tp", "convert", "make_cnn_encoder",
+    "node_types_from_tp", "node_types_on_device", "convert",
+    "make_cnn_encoder", "make_hover_typing",
 ]
 
 
+def _load_hover_variables(hovernet_config: Dict, nr_types: int):
+    """HoVer-Net init + optional torch checkpoint, bf16 on TPU (the 4 GB
+    f32 fc1 kernel crashes this environment's AOT compiler; bf16 is the
+    production inference precision anyway — PERF_NOTES.md)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    model = HoVerNet(nr_types=nr_types, mode=hovernet_config.get("mode", "fast"))
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3), jnp.float32)
+    )
+    ckpt = hovernet_config.get("hovernet_model_path")
+    if ckpt and os.path.exists(str(ckpt)):
+        sd = convert.load_torch_state_dict(ckpt)
+        variables = convert.merge_into(
+            variables, convert.hovernet_torch_to_flax(sd, nr_types)
+        )
+    in_dtype = jnp.float32
+    if jax.default_backend() == "tpu":
+        in_dtype = jnp.bfloat16
+        variables = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if getattr(a, "dtype", None) == np.float32 else a,
+            variables,
+        )
+    return model, variables, in_dtype
+
+
+def make_hover_typing(hovernet_config: Dict, nr_types: int = 6
+                      ) -> Callable[[np.ndarray], np.ndarray]:
+    """Node-typing stage the reference constructor ALWAYS runs
+    (graph_constructor.py:239, types at :131-148): patches [B,256,256,3]
+    f32 -> node types [B] int32. One jitted program (encoder + tp decoder +
+    on-device majority typing, 2.6 ms/patch on a v5e — the round-2 staged
+    recipe's 27.6 ms/patch was relay dispatch overhead, PERF_NOTES.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    model, variables, in_dtype = _load_hover_variables(hovernet_config, nr_types)
+    typed = jax.jit(
+        lambda imgs: hovernet_typing_apply(model, variables, imgs, nr_types)
+    )
+
+    def typing(patches: np.ndarray) -> np.ndarray:
+        return np.asarray(typed(jnp.asarray(patches, in_dtype)))
+
+    return typing
+
+
 def make_cnn_encoder(name: str, config: Dict, hovernet_config: Dict,
-                     kimianet_config: Dict):
-    """Build an `(patches [B,256,256,3] f32) -> (features, node_types)`
+                     kimianet_config: Dict, with_typing: bool = False):
+    """Build a `(patches [B,256,256,3] f32) -> (features, node_types)`
     encoder, mirroring GraphConstructor.__init__'s dispatch
     (/root/reference/construct_graph/graph_constructor.py:237-254).
 
     'hover'            -> HoVer-Net: features = fc1 bottleneck, node types
-                          from the tp map;
-    'kimia'            -> KimiaNet 1024-d out_1 (node types from a separate
-                          HoVer-Net pass or node_type_dir);
+                          from the tp map (one jitted program);
+    'kimia'            -> KimiaNet 1024-d out_1;
     'efficientnet-b4'  -> EfficientNet-B4 1024-d fc output.
+
+    with_typing: for the kimia/efficientnet encoders, also run the
+    HoVer-Net typing head on the SAME decoded patch batch — the reference
+    runs both CNNs over one patch stream in a single constructor pass
+    (graph_constructor.py:239-254); node_types then comes back non-None.
 
     Checkpoints are loaded when the corresponding *_model_path exists;
     otherwise the encoder runs from random init (documented degradation —
@@ -42,78 +104,22 @@ def make_cnn_encoder(name: str, config: Dict, hovernet_config: Dict,
     nr_types = int(config.get("n_node_type", 6))
 
     if name == "hover":
-        model = HoVerNet(nr_types=nr_types, mode=hovernet_config.get("mode", "fast"))
-        variables = model.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3), jnp.float32)
+        model, variables, in_dtype = _load_hover_variables(
+            hovernet_config, nr_types
         )
-        ckpt = hovernet_config.get("hovernet_model_path")
-        if ckpt and os.path.exists(str(ckpt)):
-            sd = convert.load_torch_state_dict(ckpt)
-            variables = convert.merge_into(
-                variables, convert.hovernet_torch_to_flax(sd, nr_types)
-            )
-
-        # stage-wise jits: one monolithic HoVer-Net XLA program is large
-        # enough to crash TPU AOT compilers, and so is fc1's 4 GB f32
-        # kernel ([32*32*1024, 1024]) even alone — on TPU the inference
-        # variables run bf16 (2 GB compiles fine; it is the production
-        # precision anyway), and encoder/decoder/feature-head compile as
-        # separate programs
-        run_vars = variables
-        in_dtype = jnp.float32
-        if jax.default_backend() == "tpu":
-            run_vars = jax.tree.map(
-                lambda a: a.astype(jnp.bfloat16)
-                if getattr(a, "dtype", None) == np.float32 else a,
-                variables,
-            )
-            in_dtype = jnp.bfloat16
-
-        enc = jax.jit(
-            lambda imgs: model.apply(run_vars, imgs, method="encode")
+        full = jax.jit(
+            lambda imgs: hovernet_full_apply(model, variables, imgs, nr_types)
         )
-        dec_tp = jax.jit(
-            lambda d: model.apply(run_vars, "tp", d, method="decode_branch")
-        )
-        if jax.default_backend() == "tpu":
-            # even a lone program holding fc1's [1M, 1024] kernel crashes
-            # this AOT compiler; drive the contraction as a host loop of
-            # 64 MB-weight matmul programs (one compiled program total)
-            fc_k = np.asarray(variables["params"]["fc1"]["kernel"])
-            fc_b = jnp.asarray(
-                np.asarray(variables["params"]["fc1"]["bias"]), jnp.float32
-            )
-            n_chunks = 32
-            cs = fc_k.shape[0] // n_chunks
-            w_chunks = [
-                jnp.asarray(fc_k[i * cs:(i + 1) * cs], in_dtype)
-                for i in range(n_chunks)
-            ]
-            mm = jax.jit(
-                lambda xr, w, i: jax.lax.dynamic_index_in_dim(
-                    xr, i, axis=1, keepdims=False) @ w
-            )
-
-            def feat_head(d3):
-                xr = jnp.reshape(d3, (d3.shape[0], n_chunks, cs))
-                acc = None
-                for i, w in enumerate(w_chunks):
-                    part = mm(xr, w, i)
-                    acc = part if acc is None else acc + part
-                return acc.astype(jnp.float32) + fc_b
-        else:
-            feat_head = jax.jit(
-                lambda d3: model.apply(run_vars, d3, method="feature_head")
-            )
 
         def encode(patches: np.ndarray):
-            d = enc(jnp.asarray(patches, in_dtype))
-            tp = dec_tp(d)
-            feats = feat_head(d[3])
-            return (np.asarray(feats, np.float32),
-                    node_types_from_tp(np.asarray(tp, np.float32), nr_types))
+            feats, types = full(jnp.asarray(patches, in_dtype))
+            return np.asarray(feats, np.float32), np.asarray(types)
 
         return encode
+
+    typing_fn = None
+    if with_typing and name in ("kimia", "efficientnet-b4"):
+        typing_fn = make_hover_typing(hovernet_config, nr_types)
 
     if name == "kimia":
         model = KimiaNet()
@@ -143,7 +149,9 @@ def make_cnn_encoder(name: str, config: Dict, hovernet_config: Dict,
                 return out_1
 
         def encode(patches: np.ndarray):
-            return np.asarray(fwd(jnp.asarray(patches))), None
+            feats = np.asarray(fwd(jnp.asarray(patches)))
+            types = typing_fn(patches) if typing_fn is not None else None
+            return feats, types
 
         return encode
 
@@ -164,7 +172,9 @@ def make_cnn_encoder(name: str, config: Dict, hovernet_config: Dict,
             return model.apply(variables, imgs, train=False)
 
         def encode(patches: np.ndarray):
-            return np.asarray(fwd(jnp.asarray(patches))), None
+            feats = np.asarray(fwd(jnp.asarray(patches)))
+            types = typing_fn(patches) if typing_fn is not None else None
+            return feats, types
 
         return encode
 

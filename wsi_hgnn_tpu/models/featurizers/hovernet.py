@@ -274,3 +274,40 @@ def node_types_from_tp(tp_map: np.ndarray, nr_types: int = 6) -> np.ndarray:
         nz = t[t != 0]
         out[i] = 0 if nz.size == 0 else int(np.bincount(nz, minlength=nr_types).argmax())
     return out
+
+
+def node_types_on_device(tp_logits: jax.Array, nr_types: int = 6) -> jax.Array:
+    """Jittable twin of node_types_from_tp: [B, H, W, T] type logits ->
+    [B] int32 node types, entirely on device. Ties break to the lowest
+    class index, exactly like np.bincount(...).argmax(). Keeping this on
+    device means only [B] int32 ever crosses the host link instead of the
+    full [B, H, W, T] map (~40 MB per 64-patch chunk)."""
+    t = jnp.argmax(tp_logits, axis=-1)                       # [B, H, W]
+    counts = jax.nn.one_hot(t, nr_types, dtype=jnp.int32).sum(axis=(1, 2))
+    nz = counts[:, 1:]                                       # exclude class 0
+    has_nucleus = nz.sum(axis=-1) > 0
+    return jnp.where(has_nucleus, jnp.argmax(nz, axis=-1) + 1, 0).astype(jnp.int32)
+
+
+def hovernet_typing_apply(model: "HoVerNet", variables, imgs: jax.Array,
+                          nr_types: int = 6) -> jax.Array:
+    """One jittable program: pixels [B,256,256,3] -> node types [B] int32
+    (encoder + tp decoder + on-device majority typing). This is the typing
+    stage the reference constructor ALWAYS runs
+    (graph_constructor.py:239,:131-148) regardless of the feature encoder.
+    The np/hv segmentation branches are skipped — typing only consumes tp."""
+    d = model.apply(variables, imgs, method="encode")
+    tp = model.apply(variables, "tp", d, method="decode_branch")
+    return node_types_on_device(tp, nr_types)
+
+
+def hovernet_full_apply(model: "HoVerNet", variables, imgs: jax.Array,
+                        nr_types: int = 6):
+    """One jittable program for the 'hover' encoder: pixels -> (features
+    [B,1024] f32, node types [B] int32). fc1 runs as ChunkedDense inside the
+    program (a lone monolithic dot over its [1M, 1024] kernel stalls this
+    environment's AOT compiler; the 32-chunk lax.scan compiles fine)."""
+    d = model.apply(variables, imgs, method="encode")
+    tp = model.apply(variables, "tp", d, method="decode_branch")
+    feats = model.apply(variables, d[3], method="feature_head")
+    return feats.astype(jnp.float32), node_types_on_device(tp, nr_types)

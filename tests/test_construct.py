@@ -93,3 +93,113 @@ def test_knn_lookup_dispatch():
     # awkward size falls back from pallas to exact
     i2, _ = knn_lookup(feats[:60], 4, impl="pallas")
     assert np.asarray(i2).shape == (60, 4)
+
+
+# --------------------------------------------------------------------------
+# Single-pass two-CNN construction (graph_constructor.py:239-254: the
+# reference always runs HoVer-Net typing, whatever the feature encoder)
+# --------------------------------------------------------------------------
+
+def _write_patch_dir(tmp_path, n=6):
+    from PIL import Image
+
+    d = tmp_path / "slide1"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        Image.fromarray(
+            rng.randint(0, 255, (256, 256, 3)).astype(np.uint8)
+        ).save(d / f"{i}_0.jpeg")
+    return d
+
+
+def test_inline_typing_single_pass(tmp_path, monkeypatch):
+    """encoder=kimia + no node_type_dir => the constructor asks for typing
+    (with_typing=True) and emits non-degenerate node types from ONE pass
+    over the decoded patch stream."""
+    import wsi_hgnn_tpu.models.featurizers as feat_mod
+    from wsi_hgnn_tpu.pipeline.construct import GraphConstructor
+
+    d = _write_patch_dir(tmp_path, n=6)
+    calls = {"n_batches": 0, "with_typing": None}
+
+    def fake_make_cnn_encoder(name, config, hov, kim, with_typing=False):
+        assert name == "kimia"
+        calls["with_typing"] = with_typing
+
+        def encode(patches):
+            calls["n_batches"] += 1
+            b = len(patches)
+            feats = patches.reshape(b, -1)[:, :16].astype(np.float32)
+            types = (np.arange(b) % 5 + 1).astype(np.int32) if with_typing else None
+            return feats, types
+
+        return encode
+
+    monkeypatch.setattr(feat_mod, "make_cnn_encoder", fake_make_cnn_encoder)
+    gc = GraphConstructor(
+        {"radius": 3, "encoder_name": "kimia", "n_node_type": 6},
+        {"batch_size": 4}, {}, d,
+    )
+    assert calls["with_typing"] is True
+    assert calls["n_batches"] == 2  # 6 patches / batch 4: one stream, one pass
+    assert len(gc.node_type) == 6 and np.any(gc.node_type)
+
+
+def test_degenerate_typing_warns(tmp_path):
+    """A 'heterogeneous' graph whose nodes all collapse to type 0 must warn
+    (round-2 verdict: silent all-zero typing was a degenerate graph with no
+    signal that anything was wrong)."""
+    from wsi_hgnn_tpu.pipeline.construct import GraphConstructor
+
+    d = _write_patch_dir(tmp_path, n=4)
+
+    def enc(patches):
+        return np.ones((len(patches), 8), np.float32), None
+
+    with pytest.warns(UserWarning, match="degenerate"):
+        GraphConstructor(
+            {"radius": 2, "encoder_name": "kimia", "n_node_type": 6},
+            {"batch_size": 4}, {}, d, encoder=enc,
+        )
+
+
+def test_shipped_construction_knn_impls_dispatch():
+    """Every knn_impl named in a shipped GraphConstruction YAML must
+    dispatch through ops.knn.knn_lookup (the value GraphConstructor feeds
+    to build_graph, pipeline/construct.py)."""
+    import glob
+    from pathlib import Path
+
+    import jax.numpy as jnp
+
+    from wsi_hgnn_tpu.config import load_config
+    from wsi_hgnn_tpu.ops.knn import knn_lookup
+
+    repo = Path(__file__).resolve().parent.parent
+    impls = set()
+    for p in glob.glob(str(repo / "configs" / "GraphConstruction" / "*.yml")):
+        cfg = load_config(p)
+        impls.add(cfg["graph_constructor"].get("knn_impl", "exact"))
+    assert impls  # at least the shipped default
+
+    feats = jnp.asarray(np.random.RandomState(0).randn(128, 16), jnp.float32)
+    for impl in sorted(impls):
+        idx, _ = knn_lookup(feats, 4, impl=impl)
+        assert np.asarray(idx).shape == (128, 4), impl
+
+
+def test_node_type_dir_missing_warns(tmp_path):
+    from wsi_hgnn_tpu.pipeline.construct import GraphConstructor
+
+    d = _write_patch_dir(tmp_path, n=4)
+
+    def enc(patches):
+        return np.ones((len(patches), 8), np.float32), None
+
+    with pytest.warns(UserWarning, match="does not exist"):
+        GraphConstructor(
+            {"radius": 2, "encoder_name": "kimia", "n_node_type": 6,
+             "node_type_dir": str(tmp_path / "no_such_dir")},
+            {"batch_size": 4}, {}, d, encoder=enc,
+        )

@@ -66,7 +66,12 @@ def knn_lookup(features: jax.Array, k: int, mask: jax.Array | None = None,
         tile_q = 128 if n % 128 == 0 else (64 if n % 64 == 0 else 0)
         tile_c = 512 if n % 512 == 0 else (128 if n % 128 == 0 else 0)
         if tile_q and tile_c:
-            return knn_l2_pallas(features, k, mask, tile_q=tile_q, tile_c=tile_c)
+            # Mosaic only compiles on TPU; elsewhere (CPU tests, the 8-dev
+            # virtual mesh) the same kernel runs in interpret mode so
+            # `knn_impl: pallas` configs work on every backend
+            interpret = jax.default_backend() != "tpu"
+            return knn_l2_pallas(features, k, mask, tile_q=tile_q,
+                                 tile_c=tile_c, interpret=interpret)
         impl = "exact"  # fall back for awkward sizes
     return knn_l2(features, k, mask, approx=(impl == "approx"))
 

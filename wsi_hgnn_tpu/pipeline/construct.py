@@ -15,6 +15,7 @@ Encoders are pluggable callables `(patches [B,256,256,3] f32) ->
 from __future__ import annotations
 
 import os
+import warnings
 from pathlib import Path
 from typing import Callable, Dict, Optional, Tuple
 
@@ -44,15 +45,20 @@ def random_encoder(dim: int = 1024, seed: int = 0, n_types: int = 6) -> EncoderF
     return fn
 
 
-def make_encoder(name: str, config: Dict, hovernet_config: Dict, kimianet_config: Dict) -> EncoderFn:
+def make_encoder(name: str, config: Dict, hovernet_config: Dict, kimianet_config: Dict,
+                 with_typing: bool = False) -> EncoderFn:
     """Encoder registry mirroring graph_constructor.py:237-254's dispatch on
-    `encoder_name` in {'hover', 'kimia', 'efficientnet-b4'}."""
+    `encoder_name` in {'hover', 'kimia', 'efficientnet-b4'}. with_typing
+    adds the HoVer-Net typing head to the kimia/efficientnet encoders so
+    both CNNs consume ONE decoded patch stream (the reference constructor
+    always runs typing, graph_constructor.py:239-246)."""
     if name == "random":
         return random_encoder(config.get("feature_dim", 1024))
     if name in ("kimia", "efficientnet-b4", "hover"):
         from ..models.featurizers import make_cnn_encoder
 
-        return make_cnn_encoder(name, config, hovernet_config, kimianet_config)
+        return make_cnn_encoder(name, config, hovernet_config, kimianet_config,
+                                with_typing=with_typing)
     raise NotImplementedError(f"encoder {name!r}")
 
 
@@ -69,7 +75,21 @@ class GraphConstructor:
         self.wsi_data = wsi_data
 
         enc_name = config["encoder_name"]
-        encoder = encoder or make_encoder(enc_name, config, hovernet_config, kimianet_config)
+        node_type_dir = config.get("node_type_dir")
+        # the reference constructor runs HoVer-Net typing whenever no
+        # node_type_dir is given, whatever the feature encoder
+        # (graph_constructor.py:239-246); both CNNs share one patch stream.
+        # `inline_typing: false` opts out (e.g. weightless smoke runs).
+        want_typing = (
+            encoder is None
+            and enc_name in ("kimia", "efficientnet-b4")
+            and node_type_dir is None
+            and bool(config.get("inline_typing", True))
+        )
+        encoder = encoder or make_encoder(
+            enc_name, config, hovernet_config, kimianet_config,
+            with_typing=want_typing,
+        )
 
         if enc_name == "precomputed":
             z = np.load(str(wsi_data) + ".features.npz")
@@ -91,12 +111,25 @@ class GraphConstructor:
             self.node_type = np.concatenate(types)
 
         # node types may instead come from a previous HoVer-Net pass on disk
-        node_type_dir = config.get("node_type_dir")
         if node_type_dir and enc_name != "hover":
             head, tail = os.path.split(str(wsi_data))
             f = Path(node_type_dir) / (tail + ".npy")
             if f.exists():
                 self.node_type = np.load(f)
+            else:
+                warnings.warn(
+                    f"node_type_dir is set but {f} does not exist; "
+                    f"node types for {tail!r} stay as computed/zero"
+                )
+        if (self.n_node_type > 1 and len(self.node_type)
+                and not np.any(self.node_type)):
+            # a 'heterogeneous' graph whose nodes are all type 0 is
+            # degenerate — every hetero model collapses to one bucket
+            warnings.warn(
+                f"all node types are 0 for {wsi_data!r}: the heterogeneous "
+                "graph is degenerate. Provide node_type_dir, enable "
+                "inline_typing, or use encoder_name 'hover'."
+            )
 
     def construct_graph(self):
         het, homo = build_graph(

@@ -178,3 +178,26 @@ def test_asap_gradients_flow():
     grads = jax.grad(loss)(params)
     total = sum(float(np.abs(np.asarray(v)).sum()) for v in jax.tree.leaves(grads))
     assert np.isfinite(total) and total > 0
+
+
+def test_asapgcn_forward_and_factory():
+    """ASAP is reachable from the public surface: `GNN: name: GCN,
+    graph_pooling_type: asap` builds the ASAPGCN classifier."""
+    from wsi_hgnn_tpu.config import parse_gnn_model
+    from wsi_hgnn_tpu.models import ASAPGCN
+
+    model, hetero = parse_gnn_model({
+        "name": "GCN", "num_layers": 2, "in_dim": 5, "hidden_dim": 8,
+        "out_dim": 3, "feat_drop": 0.0, "graph_pooling_type": "asap",
+        "pool_k": 4,
+    })
+    assert isinstance(model, ASAPGCN) and not hetero
+
+    rng = np.random.RandomState(7)
+    g1, _, _ = make_graph(rng, n=9)
+    g2, _, _ = make_graph(rng, n=6)
+    g = batch_graphs([g1, g2])
+    params = model.init(jax.random.PRNGKey(0), g)
+    logits = model.apply(params, g, train=False)
+    assert logits.shape == (2, 3)
+    assert np.all(np.isfinite(np.asarray(logits)))

@@ -187,3 +187,19 @@ def test_trainer_resume_from_checkpoint(tmp_path):
     assert t2.checkpoint_manager.version == 6
     lines = (tmp_path / "ckpt_resume/training_stats.json").read_text().strip().split("\n")
     assert len(lines) == 6  # 4 + 2 appended
+
+
+def test_train_gcn_asap_overfits(tmp_path):
+    """`main.py -config <asap config>` path: GCN + graph_pooling_type: asap
+    trains end-to-end and fits the separable synthetic cohort."""
+    train_list, normal_list = make_synthetic_cohort(tmp_path, hetero=False)
+    ckpt = str(tmp_path / "ckpt_ASAP")
+    cfg_text = CFG_TMPL.format(
+        train=train_list, normal=normal_list, ckpt=ckpt, gnn="GCN", epochs=25
+    ).replace("graph_pooling_type: mean",
+              "graph_pooling_type: asap\n  pool_k: 8")
+    cfg = loads_config(cfg_text)
+    assert cfg["GNN"]["graph_pooling_type"] == "asap"
+    trainer = GNNTrainer(cfg, seed=0)
+    stats = trainer.train(log_every=0)
+    assert stats["Testing Accuracy"] >= 0.9

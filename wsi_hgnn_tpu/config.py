@@ -75,6 +75,22 @@ def parse_gnn_model(config_gnn: dict) -> Tuple[Any, bool]:
             ),
             False,
         )
+    if name == "GCN" and config_gnn.get("graph_pooling_type") == "asap":
+        # GCN + ASAP select-and-pool (reference pooling/ASAP.py:120-202,
+        # which its own repo leaves unwired; BASELINE.json configs[1])
+        from .models.asap import ASAPGCN
+
+        return (
+            ASAPGCN(
+                in_dim=config_gnn["in_dim"],
+                hidden_dim=config_gnn["hidden_dim"],
+                out_dim=config_gnn["out_dim"],
+                n_layers=config_gnn["num_layers"],
+                k=int(config_gnn.get("pool_k", 32)),
+                dropout=config_gnn["feat_drop"],
+            ),
+            False,
+        )
     if name == "GCN":
         return (
             GCN(

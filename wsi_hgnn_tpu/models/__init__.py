@@ -3,9 +3,10 @@ from .homogeneous import GCN, GAT, GIN, NTPoolGCN, GraphConvLayer, GATConvLayer,
 from .heterogeneous import HetRGCN, HGT, HEATNet2, HEATNet4, HGTLayer, HEATLayer
 from .mlp import MLP2Layers, MLP4Layers
 from .layers import Pool, TypedDense, TypedHeads, MaskedBatchNorm
-from .asap import ASAPPooling, LEConv
+from .asap import ASAPGCN, ASAPPooling, LEConv
 
 __all__ = [
+    "ASAPGCN",
     "ASAPPooling",
     "LEConv",
     "GCN", "GAT", "GIN", "NTPoolGCN",

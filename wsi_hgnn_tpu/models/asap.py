@@ -41,7 +41,7 @@ exercised path (edge_weight=None => all weights are 1 anyway).
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -124,9 +124,9 @@ class ASAPPooling(nn.Module):
 
     @nn.compact
     def __call__(
-        self, g: TypedGraph, train: bool = False
+        self, g: TypedGraph, h: Optional[jax.Array] = None, train: bool = False
     ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
-        x = g.feat
+        x = g.feat if h is None else h
         n, b, k = g.num_nodes, g.n_graphs, self.k
         # the reference enters with edge_weight=None => all weights 1
         # (ASAP.py:146-154); the Pearson `sim` is NOT used as a weight there
@@ -200,3 +200,47 @@ class ASAPPooling(nn.Module):
         adj = adj * vm[:, :, None] * vm[:, None, :]
 
         return pooled.reshape(b, k, -1), adj, cluster_mask, perm, fitness
+
+
+class ASAPGCN(nn.Module):
+    """GCN classifier with ASAP pooling — the public-surface consumer of
+    ASAPPooling (`GNN: name: GCN, graph_pooling_type: asap`), the wiring
+    the reference repo itself leaves dangling (pooling/ASAP.py:120-202 is
+    excluded from pooling/__init__.py; BASELINE.json configs[1] names
+    "GAT/GIN variants with ASAP pooling" as a driver operating point).
+
+    Shape: GraphConv stack on the sparse TypedGraph -> ASAPPooling to a
+    static K-cluster budget -> dense masked GCN tail on the pooled [B,K,K]
+    adjacency (the same dense block the GTNMIL mincut path uses) -> masked
+    mean readout -> Dense logits.
+    """
+
+    in_dim: int
+    hidden_dim: int
+    out_dim: int
+    n_layers: int
+    k: int = 32
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, g: TypedGraph, train: bool = False) -> jax.Array:
+        from .mil.graph_transformer import GCNBlock
+        from .homogeneous import GraphConvLayer
+
+        h = g.feat
+        for i in range(self.n_layers):
+            if i != 0:
+                h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            h = GraphConvLayer(self.hidden_dim, activation=nn.relu,
+                               name=f"conv_{i}")(g, h)
+
+        pooled, adj, cmask, _, _ = ASAPPooling(
+            self.hidden_dim, self.k, name="asap"
+        )(g, h, train)
+
+        x = GCNBlock(self.hidden_dim, name="dense_gcn")(
+            pooled, adj, cmask.astype(pooled.dtype), train
+        )
+        denom = jnp.maximum(cmask.sum(-1, keepdims=True), 1.0)
+        hg = (x * cmask[:, :, None]).sum(1) / denom
+        return nn.Dense(self.out_dim, name="classify")(hg)

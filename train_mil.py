@@ -87,6 +87,38 @@ def summarize(model_name: str, fold_metrics: List[Tuple[float, float, float]]):
 
 
 
+def bce_with_logits_loss(logits, onehot):
+    """nn.BCEWithLogitsLoss on a one-hot target: mean over classes of
+    per-class sigmoid BCE (the ReMix mains' criterion,
+    train_remix_k-fold.py:300)."""
+    import optax
+
+    return optax.sigmoid_binary_cross_entropy(logits, onehot).mean()
+
+
+def mil_reference_loss(model_name, bag_logits, max_logits, onehot):
+    """dsmil: 0.5*BCE(bag) + 0.5*BCE(max-instance) — the mixture of LOSSES,
+    not a loss of mixed logits (train_remix_k-fold.py:141-145); abmil:
+    BCE(bag) (:146-148)."""
+    bag_loss = bce_with_logits_loss(bag_logits, onehot)
+    if model_name == "abmil":
+        return bag_loss
+    return 0.5 * bag_loss + 0.5 * bce_with_logits_loss(max_logits, onehot)
+
+
+def cosine_epoch_schedule(lr, epochs, steps_per_epoch, eta_min=5e-6):
+    """torch CosineAnnealingLR(optimizer, num_epochs, eta_min) stepped once
+    per epoch = once per pass over the FOLD'S TRAIN SPLIT
+    (train_remix_k-fold.py:302,:362; GTNMIL main_kfold.py:120,:157 pins the
+    LR to the cosine of the current epoch). Returns lr(update_count)."""
+    import optax
+
+    sched = optax.cosine_decay_schedule(
+        lr, max(epochs, 1), eta_min / max(lr, 1e-12)
+    )
+    return lambda c: sched(c // max(steps_per_epoch, 1))
+
+
 def save_fold_params(save_dir, model_name, fold, params, meta):
     """Persist a fold's trained params + rebuild metadata (the reference
     mains torch.save each fold's state_dict; GTNMIL additionally feeds the
@@ -124,27 +156,47 @@ def run_bag_models(args, bags, labels):
 
     cap = max(int(np.ceil(max(len(b) for b in bags) * (2.0 if args.remix_mode else 1.0))), 8)
 
-    def fwd_logits(params, feats, mask):
+    def bag_and_max_logits(params, feats, mask):
+        """(bag logits [1,C], masked max-instance logits [1,C])."""
         if args.model == "abmil":
-            return model.apply(params, feats, mask)
-        classes, bag_logits, _, _ = model.apply(params, feats, mask, train=False)
-        # dsmil loss combines bag and max-instance logits (reference trainer)
+            bag = model.apply(params, feats, mask)
+            return bag, bag
+        classes, bag, _, _ = model.apply(params, feats, mask, train=False)
         masked = jnp.where(mask[:, None], classes, -1e30)
-        return 0.5 * bag_logits + 0.5 * masked.max(0, keepdims=True)
+        return bag, masked.max(0, keepdims=True)
 
-    tx = optax.adam(args.lr)
+    def reference_loss(params, feats, mask, label):
+        onehot = jax.nn.one_hot(label, args.num_classes)[None]
+        bag, mx = bag_and_max_logits(params, feats, mask)
+        return mil_reference_loss(args.model, bag, mx, onehot)
 
-    @jax.jit
-    def train_step(params, opt_state, feats, mask, label):
-        def loss_fn(p):
-            return -jax.nn.log_softmax(fwd_logits(p, feats, mask))[0, label]
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+    def make_tx(steps_per_epoch):
+        """Adam(lr, betas=(0.5, 0.9), L2 weight_decay) with CosineAnnealingLR
+        stepped once per epoch to eta_min 5e-6
+        (train_remix_k-fold.py:301-302,:362)."""
+        lr_of = cosine_epoch_schedule(args.lr, args.epochs, steps_per_epoch)
+        return optax.chain(
+            optax.add_decayed_weights(args.weight_decay),
+            optax.scale_by_adam(b1=0.5, b2=0.9),
+            optax.scale_by_schedule(lambda c: -lr_of(c)),
+        )
+
+    def make_train_step(tx):
+        @jax.jit
+        def train_step(params, opt_state, feats, mask, label):
+            loss, grads = jax.value_and_grad(reference_loss)(
+                params, feats, mask, label
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+        return train_step
 
     @jax.jit
     def eval_step(params, feats, mask):
-        return jax.nn.softmax(fwd_logits(params, feats, mask))
+        # test-time score is sigmoid(bag_prediction) alone
+        # (train_remix_k-fold.py:184)
+        bag, _ = bag_and_max_logits(params, feats, mask)
+        return jax.nn.sigmoid(bag)
 
     fold_metrics = []
     for fi in range(args.folds):
@@ -163,6 +215,8 @@ def run_bag_models(args, bags, labels):
 
         f0, m0 = pad_bag(bags[train_idx[0]], capacity=cap)
         params = model.init(jax.random.PRNGKey(args.seed), jnp.asarray(f0), jnp.asarray(m0))
+        tx = make_tx(len(train_idx))
+        train_step = make_train_step(tx)
         opt_state = tx.init(params)
 
         for epoch in range(args.epochs):
@@ -229,19 +283,29 @@ def run_gtn(args, bags, labels, coords):
         n_class=args.num_classes, in_dim=d,
         embed_dim=args.hidden, node_cluster_num=args.clusters,
     )
-    sched = optax.cosine_decay_schedule(args.lr, max(args.epochs, 1), 5e-6 / max(args.lr, 1e-12))
-    tx = optax.chain(optax.add_decayed_weights(5e-4),
-                     optax.scale_by_adam(),
-                     optax.scale_by_schedule(lambda c: -sched(c // max(len(bags), 1))))
+    def make_tx(steps_per_epoch):
+        """Adam wd 5e-4 + CosineAnnealingLR(num_epochs, eta_min 5e-6); the
+        reference calls scheduler.step(epoch) per batch, which pins the LR
+        to the cosine of the CURRENT EPOCH (main_kfold.py:118-120,:157) —
+        so the anneal denominator is epochs, stepped once per pass over the
+        fold's train split."""
+        lr_of = cosine_epoch_schedule(args.lr, args.epochs, steps_per_epoch)
+        return optax.chain(
+            optax.add_decayed_weights(5e-4),
+            optax.scale_by_adam(),
+            optax.scale_by_schedule(lambda c: -lr_of(c)),
+        )
 
-    @jax.jit
-    def train_step(params, opt_state, feats, adj, mask, label):
-        def loss_fn(p):
-            logits, aux = model.apply(p, feats, adj, mask)
-            return -jax.nn.log_softmax(logits)[0, label] + aux
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+    def make_train_step(tx):
+        @jax.jit
+        def train_step(params, opt_state, feats, adj, mask, label):
+            def loss_fn(p):
+                logits, aux = model.apply(p, feats, adj, mask)
+                return -jax.nn.log_softmax(logits)[0, label] + aux
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+        return train_step
 
     @jax.jit
     def eval_step(params, feats, adj, mask):
@@ -254,6 +318,8 @@ def run_gtn(args, bags, labels, coords):
         train_idx = np.concatenate([folds[j] for j in range(args.folds) if j != fi])
         f0, a0, m0 = make_inputs(train_idx[0])
         params = model.init(jax.random.PRNGKey(args.seed), f0, a0, m0)
+        tx = make_tx(len(train_idx))
+        train_step = make_train_step(tx)
         opt_state = tx.init(params)
         for epoch in range(args.epochs):
             for j in rng.permutation(len(train_idx)):
@@ -359,6 +425,8 @@ def main(argv=None):
     ap.add_argument("--folds", type=int, default=5)
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--weight-decay", type=float, default=5e-3,
+                    help="abmil/dsmil Adam L2 (train_remix_k-fold.py:241)")
     ap.add_argument("--num-classes", type=int, default=2)
     ap.add_argument("--seed", type=int, default=0)
     # gtn / h2mil hyper-parameters

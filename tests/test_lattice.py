@@ -92,6 +92,32 @@ def test_pallas_segment_matmul_matches_onehot():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_lattice_sorted_agg_matches_onehot_model():
+    """agg_impl='sorted' (O(E) dst-sorted gather + sorted segment_sum) ==
+    agg_impl='onehot' on the full HEATNet4 lattice forward, same params."""
+    feats, ntypes, mask = data(6)
+    g_l = build_lattice_device(feats, ntypes, mask, R, T)
+    kw = dict(in_dim=D, hidden_dim=32, out_dim=3, n_layers=2, n_heads=2,
+              n_node_types=T, dropout=0.0)
+    params = HEATNet4Lattice(**kw).init(jax.random.PRNGKey(7), g_l)
+    ref = np.asarray(HEATNet4Lattice(**kw).apply(params, g_l, train=False))
+    out = np.asarray(
+        HEATNet4Lattice(**kw, agg_impl="sorted").apply(params, g_l, train=False)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    # and gradients flow through the sorted path
+    def loss(p):
+        return HEATNet4Lattice(**kw, agg_impl="sorted").apply(
+            p, g_l, train=False
+        ).sum()
+
+    grads = jax.grad(loss)(params)
+    total = sum(float(np.abs(np.asarray(v)).sum())
+                for v in jax.tree.leaves(grads))
+    assert np.isfinite(total) and total > 0
+
+
 def test_lattice_pallas_agg_matches_onehot_model():
     """agg_impl='pallas' (one-hot-free kernel) == agg_impl='onehot' on the
     full HEATNet4 lattice forward, same params."""

@@ -4,9 +4,11 @@ backward + Adam) for HEATNet4 at the BRCA operating point (hidden 512,
 synthetic constructed graphs of 2048 patches.
 
 Relay-honest protocol (PERF_NOTES.md): K steps stream through one
-`lax.scan`; one reduced scalar is fetched after.
+`lax.scan`; one reduced scalar is fetched after. MFU comes from the XLA
+compiler's own flop count for the compiled step (cost_analysis), so it
+includes everything the program actually does, not just the GEMMs.
 
-Usage: python tools/bench_train.py [batch_size]
+Usage: python tools/bench_train.py [batch_size ...]   (default ladder: 2 4 8)
 """
 from __future__ import annotations
 
@@ -17,6 +19,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+V5E_BF16_PEAK = 197e12
+V5E_F32_PEAK = 49e12
 
 
 def main(batch: int = 2):
@@ -69,18 +74,33 @@ def main(batch: int = 2):
         return losses.sum()
 
     t0 = time.perf_counter()
-    s = float(np.asarray(run(params, opt_state, g)))
+    compiled = run.lower(params, opt_state, g).compile()
+    s = float(np.asarray(compiled(params, opt_state, g)))
     print(f"compile+first: {time.perf_counter() - t0:.1f}s, loss sum {s:.4f}")
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops_per_step = float(ca.get("flops", 0.0)) / reps
+    except Exception:
+        flops_per_step = 0.0
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        np.asarray(run(params, opt_state, g))
+        np.asarray(compiled(params, opt_state, g))
         best = min(best, time.perf_counter() - t0)
     per_step = best / reps * 1e3
-    print(f"HEAT4 h512 train step (fwd+bwd+adamw), batch {batch} x {n} "
-          f"nodes: {per_step:.2f} ms/step = {batch / (per_step / 1e3):.0f} "
-          f"slides/s training throughput")
+    line = (f"HEAT4 h512 train step (fwd+bwd+adamw), batch {batch} x {n} "
+            f"nodes: {per_step:.2f} ms/step = {batch / (per_step / 1e3):.0f} "
+            f"slides/s training throughput")
+    if flops_per_step:
+        mfu = flops_per_step / (per_step / 1e3) / V5E_BF16_PEAK
+        line += (f"; XLA-counted {flops_per_step / 1e9:.1f} GFLOP/step -> "
+                 f"est. MFU {mfu * 100:.2f}% of bf16 peak "
+                 f"({mfu * V5E_BF16_PEAK / V5E_F32_PEAK * 100:.2f}% of f32 peak; "
+                 "graph train steps are gather/segment-bound, not GEMM-bound)")
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 2)
+    for b in [int(a) for a in sys.argv[1:]] or [2, 4, 8]:
+        main(b)

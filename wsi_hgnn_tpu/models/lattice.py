@@ -108,6 +108,19 @@ def build_dst_onehot(g: LatticeGraph, dtype=jnp.float32) -> jax.Array:
     return a * g.emask.reshape(b, n * k, 1).astype(dtype)
 
 
+def build_dst_sort(g: LatticeGraph):
+    """(perm, sorted_dst) [B, N*k] — the O(E) aggregation operand (PERF_NOTES
+    round-2 roadmap): edges sorted by destination once per forward, shared by
+    every layer; each reduction is then a gather + a SORTED segment_sum (XLA
+    emits the cheap sorted-scatter path) instead of an O(E*N) one-hot GEMM.
+    Masked edges contribute zero values, so their destinations are benign."""
+    b, n, k = g.idx.shape
+    idx_flat = g.idx.reshape(b, n * k)
+    perm = jnp.argsort(idx_flat, axis=1).astype(jnp.int32)
+    sorted_dst = jnp.take_along_axis(idx_flat, perm, axis=1)
+    return perm, sorted_dst
+
+
 class HEATLayerLattice(nn.Module):
     """models.HEATLayer on the lattice (same param tree).
 
@@ -120,11 +133,14 @@ class HEATLayerLattice(nn.Module):
     n_heads: int
     dropout: float = 0.2
     agg_dtype: str = "float32"
-    agg_impl: str = "onehot"  # 'onehot' (XLA GEMM) | 'pallas' (no one-hot)
+    # 'onehot' (XLA GEMM) | 'pallas' (no one-hot) | 'sorted' (O(E) gather +
+    # sorted segment_sum over dst-sorted edges)
+    agg_impl: str = "onehot"
 
     @nn.compact
     def __call__(self, g: LatticeGraph, h: jax.Array, dst_denom,
-                 train: bool = False, a_mat: jax.Array = None) -> jax.Array:
+                 train: bool = False, a_mat: jax.Array = None,
+                 dst_sort=None) -> jax.Array:
         t = self.n_types
         b, n, k = g.idx.shape
         n_h, d_k = self.n_heads, self.out_dim // self.n_heads
@@ -155,8 +171,7 @@ class HEATLayerLattice(nn.Module):
         # [B, N*k, N] (shared across layers via a_mat, PERF_NOTES #1) or the
         # Pallas segment-GEMM kernel that never materialises it (#2)
         adt = jnp.bfloat16 if self.agg_dtype == "bfloat16" else h.dtype
-        use_pallas = self.agg_impl == "pallas"
-        if use_pallas:
+        if self.agg_impl == "pallas":
             from ..ops.pallas_segment import segment_matmul_by_dst
 
             interp = jax.default_backend() != "tpu"
@@ -166,6 +181,17 @@ class HEATLayerLattice(nn.Module):
                 return segment_matmul_by_dst(
                     idx_flat, vals, n, interpret=interp
                 )
+        elif self.agg_impl == "sorted":
+            perm, sorted_dst = (build_dst_sort(g) if dst_sort is None
+                                else dst_sort)
+
+            def dst_reduce(vals):
+                vs = jnp.take_along_axis(vals, perm[:, :, None], axis=1)
+                return jax.vmap(
+                    lambda v, s: jax.ops.segment_sum(
+                        v, s, num_segments=n, indices_are_sorted=True
+                    )
+                )(vs.astype(jnp.float32), sorted_dst)
         else:
             if a_mat is None:
                 a_mat = build_dst_onehot(g, dtype=adt)
@@ -185,7 +211,13 @@ class HEATLayerLattice(nn.Module):
         den_sel = jnp.take_along_axis(
             den_edge, combo[..., None, None], axis=3
         )[..., 0, :]                                           # [B, N, k, H]
-        attn = exp_s / jnp.maximum(den_sel, 1e-30)
+        # double-where safe division: den_sel == 0 on edges whose dst is a
+        # padded node; a plain eps-clamp makes the VJP compute 0/eps^2 with
+        # eps^2 underflowing to 0 -> NaN gradients (x/y backward is -x/y^2)
+        den_pos = den_sel > 0
+        attn = jnp.where(
+            den_pos, exp_s / jnp.where(den_pos, den_sel, 1.0), 0.0
+        )
 
         # aggregation: A^T (attn * v_src)
         msg = (attn[..., None] * vv[:, :, None]).reshape(b, n * k, n_h * d_k)
@@ -238,14 +270,15 @@ class HEATNet4Lattice(nn.Module):
         )
         h = flat.reshape(b, n, self.hidden_dim)
         adt = jnp.bfloat16 if self.agg_dtype == "bfloat16" else h.dtype
-        a_mat = (None if self.agg_impl == "pallas"
-                 else build_dst_onehot(g, dtype=adt))
+        a_mat = (build_dst_onehot(g, dtype=adt)
+                 if self.agg_impl == "onehot" else None)
+        dst_sort = build_dst_sort(g) if self.agg_impl == "sorted" else None
         for i in range(self.n_layers):
             h = HEATLayerLattice(
                 t, self.hidden_dim, self.n_heads, self.dropout,
                 agg_dtype=self.agg_dtype, agg_impl=self.agg_impl,
                 name=f"gcs_{i}"
-            )(g, h, dst_denom, train, a_mat=a_mat)
+            )(g, h, dst_denom, train, a_mat=a_mat, dst_sort=dst_sort)
 
         pooled = _pool_mean_by_type(g, h, t)  # [B, T, hidden]
         out_h = TypedHeads(t, self.embed_dim, name="linears_prediction")(pooled)
@@ -288,14 +321,15 @@ class HEATNet2Lattice(nn.Module):
         )
         h = flat.reshape(b, n, self.hidden_dim)
         adt = jnp.bfloat16 if self.agg_dtype == "bfloat16" else h.dtype
-        a_mat = (None if self.agg_impl == "pallas"
-                 else build_dst_onehot(g, dtype=adt))
+        a_mat = (build_dst_onehot(g, dtype=adt)
+                 if self.agg_impl == "onehot" else None)
+        dst_sort = build_dst_sort(g) if self.agg_impl == "sorted" else None
         for i in range(self.n_layers):
             h = HEATLayerLattice(
                 t, self.hidden_dim, self.n_heads, self.dropout,
                 agg_dtype=self.agg_dtype, agg_impl=self.agg_impl,
                 name=f"gcs_{i}"
-            )(g, h, dst_denom, train, a_mat=a_mat)
+            )(g, h, dst_denom, train, a_mat=a_mat, dst_sort=dst_sort)
 
         pooled = _pool_mean_by_type(g, h, t)
         heads = TypedHeads(t, self.out_dim, name="linears_prediction")(pooled)

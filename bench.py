@@ -1,13 +1,16 @@
 """Benchmark: slides/sec SLIDE-TO-PREDICTION on TPU.
 
-Pipeline benchmarked (the BASELINE.json north star, now including the CNN
-featurizer stage that dominates the reference's wall-clock —
-/root/reference/construct_graph/graph_constructor.py:124-148): per slide,
-2048 patches of 256x256x3 pixels -> KimiaNet (DenseNet121, bf16) 1024-d
-features -> on-device exact KNN (radius 9, fused Pallas kernel) -> Pearson
-edge typing -> heterogeneous lattice graph -> HEATNet4 forward -> logits.
-A cohort of slides streams through ONE compiled program (`lax.scan`), patch
-pixels synthesised on device so the relay link is not part of the number.
+Pipeline benchmarked (the BASELINE.json north star; the COMPLETE
+constructor pipeline, including BOTH CNNs the reference always runs —
+HoVer-Net nucleus typing at graph_constructor.py:239/:131-148 and the
+KimiaNet feature encoder at :124-197): per slide, 2048 patches of
+256x256x3 pixels -> HoVer-Net (encoder + tp decoder + on-device majority
+typing, bf16) per-patch node types AND KimiaNet (DenseNet121, bf16) 1024-d
+features over the SAME patch stream -> on-device exact KNN (radius 9,
+fused Pallas kernel) -> Pearson edge typing -> heterogeneous lattice graph
+-> HEATNet4 forward -> logits. A cohort of slides streams through ONE
+compiled program (`lax.scan`), patch pixels synthesised on device so the
+relay link is not part of the number.
 
 Measurement notes for this environment: the TPU is reached through a relay
 whose `block_until_ready` acknowledges dispatch, not completion, and whose
@@ -15,14 +18,15 @@ per-call synchronous round-trip (~40 ms) dwarfs compute. Streaming K slides
 inside one program and fetching one reduced scalar AFTER the scan both
 amortises the round-trip and forces true completion (PERF_NOTES.md).
 
-Baseline: a faithful same-host re-enactment of the reference's two dominant
-stages — torchvision densenet121 inference (the reference wraps it as
-KimiaNet and runs it per patch batch, graph_constructor.py:167-197) and the
-host-side graph build (nmslib HNSW + a Python loop of scipy pearsonr per
-edge, :256-303). torch here is CPU-only; the reference used a GPU — on a
-V100 the featurizer stage alone is ~3-4 s/slide, so the printed
-vs_baseline (CPU) overstates the GPU gap by roughly the CPU/GPU CNN ratio;
-both numbers are logged to stderr.
+Baseline: a faithful same-host re-enactment of the reference's dominant
+stages — the HoVer-Net typing pass (preact-ResNet50 encoder + tp decoder,
+graph_constructor.py:239/:131-148), torchvision densenet121 inference (the
+reference wraps it as KimiaNet and runs it per patch batch,
+graph_constructor.py:167-197) and the host-side graph build (nmslib HNSW +
+a Python loop of scipy pearsonr per edge, :256-303). torch here is
+CPU-only; the reference used a GPU — on a V100 the two CNN stages together
+are ~10-20 s/slide, so the printed vs_baseline (CPU) overstates the GPU
+gap by roughly the CPU/GPU CNN ratio; both numbers are logged to stderr.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "slides/sec", "vs_baseline": N}
@@ -41,10 +45,11 @@ FEAT_DIM = 1024       # KimiaNet feature width
 RADIUS = 9            # BRCA/COAD graph-construction operating point
 N_TYPES = 6           # PanNuke node types
 HIDDEN = 256
-CHUNK = 64            # patches per featurizer step
-COHORT_STEPS = 8      # slides streamed per compiled call
-# DenseNet121 ~2.83 GMACs at 224^2 (torchvision), scaled to 256^2, x2 FLOPs
-FLOPS_PER_SLIDE = 2 * 2.83e9 * (PATCH / 224.0) ** 2 * N_PATCHES
+CHUNK = 32            # patches per CNN step (HoVer-Net's comfortable batch)
+COHORT_STEPS = 4      # slides streamed per compiled call
+# DenseNet121 ~2.83 GMACs at 224^2 (torchvision), scaled to 256^2, x2 FLOPs,
+# + HoVer-Net encoder + tp decoder ~52 GF/patch (tools/bench_hovernet.py)
+FLOPS_PER_SLIDE = (2 * 2.83e9 * (PATCH / 224.0) ** 2 + 52e9) * N_PATCHES
 V5E_BF16_PEAK = 197e12
 
 
@@ -65,6 +70,10 @@ def measure_tpu() -> float:
         fuse_kimianet,
         kimianet_fused_apply,
     )
+    from wsi_hgnn_tpu.models.featurizers.hovernet import (
+        HoVerNet,
+        hovernet_typing_apply,
+    )
     from wsi_hgnn_tpu.models.lattice import HEATNet4Lattice, build_lattice_device
 
     kimia = KimiaNet()
@@ -84,6 +93,16 @@ def measure_tpu() -> float:
     # (f32 measured 1.55x slower, PERF_NOTES.md)
     fp = fuse_kimianet(kvars, dtype=jnp.bfloat16)
 
+    # HoVer-Net typing — the second CNN the reference constructor ALWAYS
+    # runs (graph_constructor.py:239): encoder + tp decoder + on-device
+    # majority typing, bf16, one program (2.65 ms/patch, PERF_NOTES.md)
+    hover = HoVerNet(nr_types=N_TYPES, mode="fast")
+    hvars = jax.jit(hover.init)(jax.random.PRNGKey(2), p0)
+    hvars = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        hvars,
+    )
+
     feats0 = jnp.asarray(rng.randn(1, N_PATCHES, FEAT_DIM).astype(np.float32))
     nty0 = jnp.asarray(rng.randint(0, N_TYPES, (1, N_PATCHES)).astype(np.int32))
     mask0 = jnp.ones((1, N_PATCHES), bool)
@@ -102,18 +121,21 @@ def measure_tpu() -> float:
 
     def make_cohort(featurize):
         @jax.jit
-        def cohort(pool, fp, hparams):
+        def cohort(pool, fp, hvars, hparams):
             def slide(carry, i):
-                def feat_chunk(_, j):
+                def cnn_chunk(_, j):
                     patches = jax.lax.dynamic_index_in_dim(
                         pool, (i.astype(jnp.int32) + j) % POOL, keepdims=False
                     )
-                    return None, featurize(fp, patches)
-                _, feats = jax.lax.scan(feat_chunk, None, jnp.arange(n_chunks))
+                    # both CNNs consume the SAME decoded patch chunk, as the
+                    # reference's single constructor pass does (:239-254)
+                    types = hovernet_typing_apply(hover, hvars, patches, N_TYPES)
+                    return None, (featurize(fp, patches), types)
+                _, (feats, types) = jax.lax.scan(
+                    cnn_chunk, None, jnp.arange(n_chunks)
+                )
                 feats = feats.reshape(1, N_PATCHES, FEAT_DIM).astype(jnp.float32)
-                # per-patch node type stands in for the HoVer-Net typing stage
-                # (a second CNN in the reference; not part of this metric)
-                ntypes = jnp.abs(feats[..., 0] * 1e4).astype(jnp.int32) % N_TYPES
+                ntypes = types.reshape(1, N_PATCHES)
                 mask = jnp.ones((1, N_PATCHES), bool)
                 g = build_lattice_device(
                     feats, ntypes, mask, RADIUS, N_TYPES, knn_impl="pallas"
@@ -129,7 +151,7 @@ def measure_tpu() -> float:
     t0 = time.perf_counter()
     try:
         cohort = make_cohort(lambda fp, p: kimianet_fused_apply(fp, p)[0])
-        s = cohort(pool, fp, hparams)
+        s = cohort(pool, fp, hvars, hparams)
         _ = np.asarray(s)
     except Exception as e:  # safety net: fall back to the flax featurizer
         log(f"fused Pallas featurizer path failed ({type(e).__name__}: {e}); "
@@ -141,7 +163,7 @@ def measure_tpu() -> float:
         cohort = make_cohort(
             lambda v, p: kimia.apply(v, p, train=False)[0].astype(jnp.bfloat16)
         )
-        s = cohort(pool, fp, hparams)
+        s = cohort(pool, fp, hvars, hparams)
         _ = np.asarray(s)
     log(f"device: {jax.devices()[0]}; compile+first run "
         f"{time.perf_counter() - t0:.1f}s, checksum {float(s):.4f}")
@@ -149,7 +171,7 @@ def measure_tpu() -> float:
     reps = 2
     t0 = time.perf_counter()
     for _ in range(reps):
-        s = cohort(pool, fp, hparams)
+        s = cohort(pool, fp, hvars, hparams)
         _ = np.asarray(s)
     dt = time.perf_counter() - t0
     n_slides = reps * COHORT_STEPS
@@ -158,17 +180,151 @@ def measure_tpu() -> float:
     log(
         f"tpu slide-to-prediction: {n_slides} slides in {dt:.3f}s -> "
         f"{sps:.3f} slides/s ({dt / n_slides * 1e3:.1f} ms/slide); "
-        f"featurizer-dominated, est. MFU {mfu * 100:.1f}% "
+        f"CNN-dominated (typing is ~95% of it), est. MFU {mfu * 100:.1f}% "
         f"({FLOPS_PER_SLIDE / 1e12:.1f} TFLOP/slide vs {V5E_BF16_PEAK / 1e12:.0f} TF/s bf16 peak)"
     )
     return sps
 
 
+def _torch_hovernet_typing_seconds_per_slide() -> float:
+    """Torch CPU re-enactment of the reference's typing pass: preact-
+    ResNet50 encoder + conv_bot + the tp valid-conv decoder branch
+    (net_desc.py:32-92 'fast' mode) — the same conv structure, so the same
+    CPU timing the reference's constructor would see per patch."""
+    import torch
+    from torch import nn as tnn
+
+    class PreactUnit(tnn.Module):
+        def __init__(self, cin, c1, c2, c3, stride, preact):
+            super().__init__()
+            self.preact = (tnn.Sequential(tnn.BatchNorm2d(cin), tnn.ReLU())
+                           if preact else tnn.Identity())
+            self.body = tnn.Sequential(
+                tnn.Conv2d(cin, c1, 1, bias=False),
+                tnn.BatchNorm2d(c1), tnn.ReLU(),
+                tnn.Conv2d(c1, c2, 3, stride=stride, padding=1, bias=False),
+                tnn.BatchNorm2d(c2), tnn.ReLU(),
+                tnn.Conv2d(c2, c3, 1, bias=False),
+            )
+
+        def forward(self, x):
+            return self.body(self.preact(x))
+
+    class ResBlock(tnn.Module):
+        def __init__(self, cin, chs, count, stride):
+            super().__init__()
+            c1, c2, c3 = chs
+            self.short = tnn.Conv2d(cin, c3, 1, stride=stride, bias=False)
+            self.units = tnn.ModuleList(
+                [PreactUnit(cin if i == 0 else c3, c1, c2, c3,
+                            stride if i == 0 else 1, preact=i != 0)
+                 for i in range(count)]
+            )
+            self.bna = tnn.Sequential(tnn.BatchNorm2d(c3), tnn.ReLU())
+
+        def forward(self, x):
+            s = self.short(x)
+            for u in self.units:
+                s = u(x) + s
+                x = s
+            return self.bna(s)
+
+    def dense_block(cin, units):
+        return [tnn.Sequential(
+            tnn.BatchNorm2d(cin + 32 * i), tnn.ReLU(),
+            tnn.Conv2d(cin + 32 * i, 128, 1, bias=False),
+            tnn.BatchNorm2d(128), tnn.ReLU(),
+            tnn.Conv2d(128, 32, 3, bias=False, groups=4),
+        ) for i in range(units)]
+
+    class TpDecoder(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.u3a = tnn.Conv2d(1024, 256, 3, bias=False)
+            self.u3d = tnn.ModuleList(dense_block(256, 8))
+            self.u3f = tnn.Conv2d(256 + 8 * 32, 512, 1, bias=False)
+            self.u2a = tnn.Conv2d(512, 128, 3, bias=False)
+            self.u2d = tnn.ModuleList(dense_block(128, 4))
+            self.u2f = tnn.Conv2d(128 + 4 * 32, 256, 1, bias=False)
+            self.u1a = tnn.Conv2d(256, 64, 3, padding=1, bias=False)
+            self.out = tnn.Sequential(
+                tnn.BatchNorm2d(64), tnn.ReLU(), tnn.Conv2d(64, 6, 1)
+            )
+
+        @staticmethod
+        def crop(x, target):
+            d = (x.shape[-1] - target) // 2
+            return x[..., d : d + target, d : d + target]
+
+        @staticmethod
+        def up2(x):
+            return torch.nn.functional.interpolate(x, scale_factor=2,
+                                                   mode="nearest")
+
+        def run_dense(self, x, units):
+            for u in units:
+                y = u(x)
+                x = torch.cat([self.crop(x, y.shape[-1]), y], 1)
+            return x
+
+        def forward(self, d0, d1, d2, d3):
+            u = self.u3f(self.run_dense(self.u3a(self.up2(d3) + d2), self.u3d))
+            u = self.u2f(self.run_dense(
+                self.u2a(self.up2(u) + self.crop(d1, u.shape[-1] * 2)), self.u2d
+            ))
+            u = self.u1a(self.up2(u) + self.crop(d0, u.shape[-1] * 2))
+            return self.out(u)
+
+    class HoverTyping(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = tnn.Sequential(
+                tnn.Conv2d(3, 64, 7, padding=3, bias=False),
+                tnn.BatchNorm2d(64), tnn.ReLU(),
+            )
+            self.d0 = ResBlock(64, (64, 64, 256), 3, 1)
+            self.d1 = ResBlock(256, (128, 128, 512), 4, 2)
+            self.d2 = ResBlock(512, (256, 256, 1024), 6, 2)
+            self.d3 = ResBlock(1024, (512, 512, 2048), 3, 2)
+            self.bot = tnn.Conv2d(2048, 1024, 1, bias=False)
+            self.dec = TpDecoder()
+
+        def forward(self, x):
+            d0 = self.d0(self.stem(x))
+            d1 = self.d1(d0)
+            d2 = self.d2(d1)
+            d3 = self.bot(self.d3(d2))
+            tp = self.dec(d0, d1, d2, d3)
+            return tp.argmax(1)
+
+    import numpy as _np
+
+    model = HoverTyping()
+    model.eval()
+    batch = torch.from_numpy(
+        _np.random.RandomState(2).rand(1, 3, PATCH, PATCH).astype(_np.float32)
+    )
+    with torch.no_grad():
+        model(batch)  # warm-up
+        t0 = time.perf_counter()
+        model(batch)
+        per_patch = time.perf_counter() - t0
+    return per_patch * N_PATCHES
+
+
 def measure_reference_baseline() -> float:
-    """Same-host re-enactment of the reference's dominant stages:
-    torchvision densenet121 per-patch inference (CPU torch — the reference
-    used a GPU; see module docstring) + host KNN/Pearson graph build."""
+    """Same-host re-enactment of the reference's dominant stages: HoVer-Net
+    typing + torchvision densenet121 per-patch inference (CPU torch — the
+    reference used a GPU; see module docstring) + host KNN/Pearson build."""
     rng = np.random.RandomState(1)
+
+    t_hover = 0.0
+    try:
+        t_hover = _torch_hovernet_typing_seconds_per_slide()
+        log(f"reference typing re-enactment (torch CPU): "
+            f"{t_hover / N_PATCHES * 1e3:.0f} ms/patch -> {t_hover:.1f}s/slide")
+    except Exception as e:
+        log(f"torch hovernet baseline unavailable ({e})")
 
     # featurizer stage: a torch DenseNet121 with torchvision's architecture
     # (blocks 6/12/24/16, growth 32 — torchvision isn't installed here, so
@@ -263,10 +419,11 @@ def measure_reference_baseline() -> float:
         pearsonr(feats[src[i]], feats[dst[i]])
     t_pearson = (time.perf_counter() - t0) * (n_edges / sample)
 
-    per_slide = t_feat + t_knn + t_pearson
+    per_slide = t_hover + t_feat + t_knn + t_pearson
     log(
-        f"reference baseline (this host): featurizer {t_feat:.1f}s + knn "
-        f"{t_knn:.2f}s + pearson {t_pearson:.2f}s = {per_slide:.1f}s/slide"
+        f"reference baseline (this host): typing {t_hover:.1f}s + featurizer "
+        f"{t_feat:.1f}s + knn {t_knn:.2f}s + pearson {t_pearson:.2f}s = "
+        f"{per_slide:.1f}s/slide"
     )
     return 1.0 / per_slide
 
@@ -279,10 +436,12 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "slides/sec slide-to-prediction (2048 patches x "
-                          "256x256x3 pixels -> KimiaNet DenseNet121 bf16 "
-                          "features -> exact-KNN radius-9 Pearson graph "
-                          "(fused Pallas kernel) -> HEATNet4 logits)",
+                "metric": "slides/sec slide-to-prediction incl. HoVer-Net "
+                          "typing (2048 patches x 256x256x3 pixels -> "
+                          "HoVer-Net nucleus typing bf16 + KimiaNet "
+                          "DenseNet121 bf16 features, one patch stream -> "
+                          "exact-KNN radius-9 Pearson graph (fused Pallas "
+                          "kernel) -> HEATNet4 logits)",
                 "value": round(value, 3),
                 "unit": "slides/sec",
                 "vs_baseline": round(value / baseline, 2),

@@ -79,8 +79,9 @@ def measure_tpu() -> float:
     kimia = KimiaNet()
     # fused Pallas featurizer path (BN folded, dense layers as single
     # kernels, in-place concat), equality-tested against the flax path.
-    # The lattice aggregation stays on the shared one-hot GEMM: the Pallas
-    # segment kernel (ops/pallas_segment.py) measured neutral (PERF_NOTES)
+    # The lattice aggregation stays on the shared one-hot GEMM — the
+    # measured winner over both the Pallas segment kernel and the O(E)
+    # sorted-segment formulation (PERF_NOTES round-3 ladder)
     heat = HEATNet4Lattice(
         in_dim=FEAT_DIM, hidden_dim=HIDDEN, out_dim=2, n_layers=2, n_heads=4,
         n_node_types=N_TYPES, dropout=0.0,

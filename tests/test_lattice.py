@@ -78,20 +78,6 @@ def test_lattice_param_tree_is_interchangeable():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
-def test_pallas_segment_matmul_matches_onehot():
-    """ops/pallas_segment.segment_matmul_by_dst == the one-hot GEMM."""
-    from wsi_hgnn_tpu.ops.pallas_segment import segment_matmul_by_dst
-
-    rng = np.random.RandomState(3)
-    b, e, n, q = 2, 256, 64, 24
-    idx = jnp.asarray(rng.randint(0, n, (b, e)).astype(np.int32))
-    vals = jnp.asarray(rng.randn(b, e, q).astype(np.float32))
-    out = np.asarray(segment_matmul_by_dst(idx, vals, n, interpret=True))
-    oh = jax.nn.one_hot(idx, n, dtype=jnp.float32)
-    ref = np.asarray(jnp.einsum("bem,beq->bmq", oh, vals))
-    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
-
-
 def test_lattice_sorted_agg_matches_onehot_model():
     """agg_impl='sorted' (O(E) dst-sorted gather + sorted segment_sum) ==
     agg_impl='onehot' on the full HEATNet4 lattice forward, same params."""
@@ -116,18 +102,3 @@ def test_lattice_sorted_agg_matches_onehot_model():
     total = sum(float(np.abs(np.asarray(v)).sum())
                 for v in jax.tree.leaves(grads))
     assert np.isfinite(total) and total > 0
-
-
-def test_lattice_pallas_agg_matches_onehot_model():
-    """agg_impl='pallas' (one-hot-free kernel) == agg_impl='onehot' on the
-    full HEATNet4 lattice forward, same params."""
-    feats, ntypes, mask = data(4)
-    g_l = build_lattice_device(feats, ntypes, mask, R, T)
-    kw = dict(in_dim=D, hidden_dim=32, out_dim=3, n_layers=2, n_heads=2,
-              n_node_types=T, dropout=0.0)
-    params = HEATNet4Lattice(**kw).init(jax.random.PRNGKey(5), g_l)
-    ref = np.asarray(HEATNet4Lattice(**kw).apply(params, g_l, train=False))
-    out = np.asarray(
-        HEATNet4Lattice(**kw, agg_impl="pallas").apply(params, g_l, train=False)
-    )
-    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)

@@ -133,8 +133,8 @@ class HEATLayerLattice(nn.Module):
     n_heads: int
     dropout: float = 0.2
     agg_dtype: str = "float32"
-    # 'onehot' (XLA GEMM) | 'pallas' (no one-hot) | 'sorted' (O(E) gather +
-    # sorted segment_sum over dst-sorted edges)
+    # 'onehot' (XLA GEMM, the measured winner on TPU — PERF_NOTES round-3)
+    # | 'sorted' (O(E) gather + sorted segment_sum over dst-sorted edges)
     agg_impl: str = "onehot"
 
     @nn.compact
@@ -167,21 +167,11 @@ class HEATLayerLattice(nn.Module):
         combo = g.esign * t + g.ntypes[:, :, None]          # [B, N, k]
         combo_oh = jax.nn.one_hot(combo, n_combo, dtype=h.dtype)
 
-        # destination-indexed reductions: either GEMMs against a one-hot
-        # [B, N*k, N] (shared across layers via a_mat, PERF_NOTES #1) or the
-        # Pallas segment-GEMM kernel that never materialises it (#2)
+        # destination-indexed reductions: GEMMs against a one-hot
+        # [B, N*k, N] shared across layers via a_mat (the measured winner;
+        # the O(E) sorted alternative kept for reference, PERF_NOTES r3)
         adt = jnp.bfloat16 if self.agg_dtype == "bfloat16" else h.dtype
-        if self.agg_impl == "pallas":
-            from ..ops.pallas_segment import segment_matmul_by_dst
-
-            interp = jax.default_backend() != "tpu"
-            idx_flat = g.idx.reshape(b, n * k)
-
-            def dst_reduce(vals):
-                return segment_matmul_by_dst(
-                    idx_flat, vals, n, interpret=interp
-                )
-        elif self.agg_impl == "sorted":
+        if self.agg_impl == "sorted":
             perm, sorted_dst = (build_dst_sort(g) if dst_sort is None
                                 else dst_sort)
 

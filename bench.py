@@ -48,8 +48,9 @@ HIDDEN = 256
 CHUNK = 32            # patches per CNN step (HoVer-Net's comfortable batch)
 COHORT_STEPS = 4      # slides streamed per compiled call
 # DenseNet121 ~2.83 GMACs at 224^2 (torchvision), scaled to 256^2, x2 FLOPs,
-# + HoVer-Net encoder + tp decoder ~52 GF/patch (tools/bench_hovernet.py)
-FLOPS_PER_SLIDE = (2 * 2.83e9 * (PATCH / 224.0) ** 2 + 52e9) * N_PATCHES
+# + HoVer-Net encoder + tp decoder 213 GF/patch (XLA-counted; the encoder
+# has no downsampling stem so d0 runs at full 256^2 — tools/bench_hovernet)
+FLOPS_PER_SLIDE = (2 * 2.83e9 * (PATCH / 224.0) ** 2 + 213e9) * N_PATCHES
 V5E_BF16_PEAK = 197e12
 
 

@@ -22,10 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PATCH = 256
 N_TYPES = 6
-# FLOPs/patch: preact-ResNet50 encoder (~5.4 GF at 256^2) + conv_bot
-# (4.3 GF) + tp decoder (u3_conva 18.1 + dense8 2.7 + convf 1.1 +
-# u2_conva 9.6 + dense4 1.5 + convf 0.9 + u1_conva 7.9 GF) ~= 52 GF
-FLOPS_PER_PATCH = 52e9
+# fallback when cost_analysis is unavailable: XLA counts 213 GF/patch for
+# the typing program (the encoder has no downsampling stem, so d0's three
+# bottleneck units run at full 256^2 — ~171 GF of it; the early hand
+# estimate of 52 GF undercounted exactly that)
+FLOPS_PER_PATCH = 213e9
 V5E_BF16_PEAK = 197e12
 
 
@@ -42,6 +43,8 @@ def main(batches):
         hovernet_typing_apply,
     )
 
+    from wsi_hgnn_tpu.models.featurizers.hovernet import fuse_hovernet_d0
+
     model = HoVerNet(nr_types=N_TYPES, mode="fast")
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, PATCH, PATCH, 3), jnp.float32)
@@ -53,6 +56,23 @@ def main(batches):
             lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
             variables,
         )
+    d0_fused = fuse_hovernet_d0(variables, dtype) if on_tpu else None
+
+    if on_tpu:
+        # fused-d0 path must agree with the reference composition
+        imgs = jax.random.uniform(jax.random.PRNGKey(3),
+                                  (8, PATCH, PATCH, 3), dtype)
+        t_ref = np.asarray(jax.jit(
+            lambda v, x: hovernet_typing_apply(model, v, x, N_TYPES)
+        )(variables, imgs))
+        t_fus = np.asarray(jax.jit(
+            lambda v, x: hovernet_typing_apply(model, v, x, N_TYPES,
+                                               d0_fused=d0_fused)
+        )(variables, imgs))
+        agree = (t_ref == t_fus).mean()
+        print(f"fused-d0 typing agreement on 8 random patches: "
+              f"{agree * 100:.0f}% ({t_ref.tolist()} vs {t_fus.tolist()})",
+              flush=True)
 
     for batch in batches:
         POOL = 2
@@ -61,32 +81,45 @@ def main(batches):
         )
         reps = max(1, 256 // batch)
 
-        @jax.jit
-        def run(pool, variables):
-            def step(carry, i):
-                imgs = jax.lax.dynamic_index_in_dim(
-                    pool, i % POOL, keepdims=False
-                )
-                ty = hovernet_typing_apply(model, variables, imgs, N_TYPES)
-                return carry + ty.sum(), None
+        variants = [("baseline", None)]
+        if d0_fused is not None:
+            variants.append(("fused-d0", d0_fused))
+        for name, d0f in variants:
+            @jax.jit
+            def run(pool, variables, _d0f=d0f):
+                def step(carry, i):
+                    imgs = jax.lax.dynamic_index_in_dim(
+                        pool, i % POOL, keepdims=False
+                    )
+                    ty = hovernet_typing_apply(model, variables, imgs,
+                                               N_TYPES, d0_fused=_d0f)
+                    return carry + ty.sum(), None
 
-            s, _ = jax.lax.scan(step, jnp.int32(0), jnp.arange(reps))
-            return s
+                s, _ = jax.lax.scan(step, jnp.int32(0), jnp.arange(reps))
+                return s
 
-        t0 = time.perf_counter()
-        s = int(np.asarray(run(pool, variables)))
-        print(f"batch {batch}: compile+first {time.perf_counter() - t0:.1f}s, "
-              f"type-sum {s}", flush=True)
-        best = 1e9
-        for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(run(pool, variables))
-            best = min(best, time.perf_counter() - t0)
-        per_patch = best / (reps * batch) * 1e3
-        mfu = FLOPS_PER_PATCH / (per_patch / 1e3) / V5E_BF16_PEAK
-        print(f"batch {batch}: {per_patch:.3f} ms/patch "
-              f"({per_patch * 2048 / 1e3:.2f} s per 2048-patch slide), "
-              f"est. MFU {mfu * 100:.1f}%", flush=True)
+            compiled = run.lower(pool, variables).compile()
+            s = int(np.asarray(compiled(pool, variables)))
+            try:
+                ca = compiled.cost_analysis()
+                ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+                gf_patch = float(ca.get("flops", 0.0)) / (reps * batch) / 1e9
+            except Exception:
+                gf_patch = FLOPS_PER_PATCH / 1e9
+            print(f"batch {batch} {name}: compile+first "
+                  f"{time.perf_counter() - t0:.1f}s, type-sum {s}", flush=True)
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(compiled(pool, variables))
+                best = min(best, time.perf_counter() - t0)
+            per_patch = best / (reps * batch) * 1e3
+            mfu = gf_patch * 1e9 / (per_patch / 1e3) / V5E_BF16_PEAK
+            print(f"batch {batch} {name}: {per_patch:.3f} ms/patch "
+                  f"({per_patch * 2048 / 1e3:.2f} s per 2048-patch slide), "
+                  f"XLA {gf_patch:.0f} GF/patch -> MFU {mfu * 100:.1f}%",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -75,37 +75,3 @@ def test_fused_kimianet_matches_flax():
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(o3), np.asarray(o3_ref),
                                rtol=1e-4, atol=1e-6)
-
-
-def test_sliced_conv_impl_matches_taps():
-    """conv_impl='sliced' (9 shifted narrow GEMMs from a 128-ch scratch) ==
-    conv_impl='taps' on the kernel, and through the full fused network."""
-    rng = np.random.RandomState(2)
-    b, h, w, c_end = 2, 16, 16, 256
-    c_cur = 160
-    x = np.zeros((b, h, w, c_end), np.float32)
-    x[..., :c_cur] = rng.randn(b, h, w, c_cur)
-    a1 = np.zeros((1, c_end), np.float32)
-    b1 = np.zeros((1, c_end), np.float32)
-    a1[0, :c_cur] = rng.rand(c_cur) + 0.5
-    b1[0, :c_cur] = rng.randn(c_cur) * 0.1
-    w1f = np.zeros((c_end, 128), np.float32)
-    w1f[:c_cur] = rng.randn(c_cur, 128) * 0.05
-    b2 = (rng.randn(1, 128) * 0.1).astype(np.float32)
-    w2cat = rng.randn(128, 288).astype(np.float32) * 0.05
-
-    args = [jnp.asarray(v) for v in (x, a1, b1, w1f, b2, w2cat)]
-    kw = dict(n_active_groups=-(-c_cur // 128), slot=c_cur // 32,
-              interpret=True)
-    ref = np.asarray(dense_layer_fused(*args, conv_impl="taps", **kw))
-    out = np.asarray(dense_layer_fused(*args, conv_impl="sliced", **kw))
-    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
-
-    xin = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
-    kimia = KimiaNet()
-    variables = kimia.init(jax.random.PRNGKey(3), xin)
-    fp = fuse_kimianet(variables, dtype=jnp.float32)
-    o1_ref, _ = kimianet_fused_apply(fp, xin, interpret=True)
-    o1, _ = kimianet_fused_apply(fp, xin, interpret=True, conv_impl="sliced")
-    np.testing.assert_allclose(np.asarray(o1), np.asarray(o1_ref),
-                               rtol=1e-4, atol=1e-6)

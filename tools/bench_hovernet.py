@@ -43,8 +43,6 @@ def main(batches):
         hovernet_typing_apply,
     )
 
-    from wsi_hgnn_tpu.models.featurizers.hovernet import fuse_hovernet_d0
-
     model = HoVerNet(nr_types=N_TYPES, mode="fast")
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, PATCH, PATCH, 3), jnp.float32)
@@ -56,24 +54,6 @@ def main(batches):
             lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
             variables,
         )
-    d0_fused = fuse_hovernet_d0(variables, dtype) if on_tpu else None
-
-    if on_tpu:
-        # fused-d0 path must agree with the reference composition
-        imgs = jax.random.uniform(jax.random.PRNGKey(3),
-                                  (8, PATCH, PATCH, 3), dtype)
-        t_ref = np.asarray(jax.jit(
-            lambda v, x: hovernet_typing_apply(model, v, x, N_TYPES)
-        )(variables, imgs))
-        t_fus = np.asarray(jax.jit(
-            lambda v, x: hovernet_typing_apply(model, v, x, N_TYPES,
-                                               d0_fused=d0_fused)
-        )(variables, imgs))
-        agree = (t_ref == t_fus).mean()
-        print(f"fused-d0 typing agreement on 8 random patches: "
-              f"{agree * 100:.0f}% ({t_ref.tolist()} vs {t_fus.tolist()})",
-              flush=True)
-
     for batch in batches:
         POOL = 2
         pool = jax.random.uniform(
@@ -81,18 +61,15 @@ def main(batches):
         )
         reps = max(1, 256 // batch)
 
-        variants = [("baseline", None)]
-        if d0_fused is not None:
-            variants.append(("fused-d0", d0_fused))
-        for name, d0f in variants:
+        for name in ("baseline",):
             @jax.jit
-            def run(pool, variables, _d0f=d0f):
+            def run(pool, variables):
                 def step(carry, i):
                     imgs = jax.lax.dynamic_index_in_dim(
                         pool, i % POOL, keepdims=False
                     )
                     ty = hovernet_typing_apply(model, variables, imgs,
-                                               N_TYPES, d0_fused=_d0f)
+                                               N_TYPES)
                     return carry + ty.sum(), None
 
                 s, _ = jax.lax.scan(step, jnp.int32(0), jnp.arange(reps))

@@ -5,7 +5,7 @@ one reduced scalar fetched after.
 
 Usage:
     python tools/bench_kernels.py agg     # HEAT4 lattice fwd: onehot/sorted
-    python tools/bench_kernels.py dense   # dense_layer_fused: taps vs sliced per block shape
+    python tools/bench_kernels.py dense   # dense_layer_fused per block shape
 """
 from __future__ import annotations
 
@@ -85,7 +85,9 @@ def bench_agg():
 
 
 def bench_dense():
-    """dense_layer_fused taps vs sliced at each DenseNet block's shape."""
+    """dense_layer_fused at each DenseNet block's shape (the taps-vs-
+    sliced conv2 ladder ran here; sliced lost everywhere and was removed —
+    PERF_NOTES round-3)."""
     import jax
     import jax.numpy as jnp
 
@@ -99,8 +101,10 @@ def bench_dense():
     shapes = [(64, 256, 160), (32, 512, 256), (16, 1024, 640), (8, 1024, 768)]
     b, scan_reps = 32, 32
     for h, c_end, c_cur in shapes:
-        x = np.zeros((b, h, h, c_end), np.float32)
-        x[..., :c_cur] = rng.randn(b, h, h, c_cur)
+        # 2-pool rotated by step index: a loop-invariant body would let XLA
+        # hoist the whole layer out of the scan and time only overhead
+        x = np.zeros((2, b, h, h, c_end), np.float32)
+        x[..., :c_cur] = rng.randn(2, b, h, h, c_cur)
         x = jnp.asarray(x, jnp.bfloat16)
         a1 = jnp.asarray(np.pad(rng.rand(c_cur) + 0.5, (0, c_end - c_cur))[None],
                          jnp.float32)
@@ -112,25 +116,23 @@ def bench_dense():
         w2 = jnp.asarray(rng.randn(128, 288) * 0.05, jnp.bfloat16)
         kw = dict(n_active_groups=-(-c_cur // 128), slot=c_cur // 32)
 
-        for impl in ("taps", "sliced"):
-            @jax.jit
-            def run(x, _impl=impl):
-                def step(c, _):
-                    y = dense_layer_fused(x, a1, b1, w1f, b2, w2,
-                                          conv_impl=_impl, **kw)
-                    return c + y[..., c_cur:c_cur + 32].astype(jnp.float32).sum(), None
-                s, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(scan_reps))
-                return s
+        @jax.jit
+        def run(x):
+            def step(c, i):
+                xi = jax.lax.dynamic_index_in_dim(x, i % 2, keepdims=False)
+                y = dense_layer_fused(xi, a1, b1, w1f, b2, w2, **kw)
+                return c + y[..., c_cur:c_cur + 32].astype(jnp.float32).sum(), None
+            s, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(scan_reps))
+            return s
 
-            try:
-                compile_s, best = _timeit(run, x)
-            except Exception as e:
-                print(f"H={h:3d} c={c_cur:4d} {impl:6s}: FAILED "
-                      f"{type(e).__name__}: {e}")
-                continue
-            per_call = best / scan_reps * 1e3
-            print(f"H={h:3d} c={c_cur:4d} {impl:6s}: {per_call:.3f} ms per "
-                  f"{b}-img layer (compile {compile_s:.0f}s)", flush=True)
+        try:
+            compile_s, best = _timeit(run, x)
+        except Exception as e:
+            print(f"H={h:3d} c={c_cur:4d}: FAILED {type(e).__name__}: {e}")
+            continue
+        per_call = best / scan_reps * 1e3
+        print(f"H={h:3d} c={c_cur:4d}: {per_call:.3f} ms per "
+              f"{b}-img layer (compile {compile_s:.0f}s)", flush=True)
 
 
 if __name__ == "__main__":

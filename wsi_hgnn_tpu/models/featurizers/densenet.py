@@ -175,13 +175,10 @@ def fuse_kimianet(variables, dtype=jnp.bfloat16):
     return fp
 
 
-def kimianet_fused_apply(fp, pixels, interpret: bool = False,
-                         conv_impl: str = "taps"):
+def kimianet_fused_apply(fp, pixels, interpret: bool = False):
     """(out_1 [B,1024], out_3 [B,512]) — fused-kernel twin of
     KimiaNet.apply(..., train=False). pixels [B, H, W, 3]; H, W multiples
-    of 32 (the production patch size is 256). conv_impl: 'taps' | 'sliced'
-    (ops/pallas_densenet.dense_layer_fused's two conv2 formulations) or
-    'auto' (sliced for the large-spatial block1, taps elsewhere)."""
+    of 32 (the production patch size is 256)."""
     from ...ops.pallas_densenet import dense_layer_fused
 
     dtype = pixels.dtype
@@ -208,16 +205,13 @@ def kimianet_fused_apply(fp, pixels, interpret: bool = False,
         x = jnp.concatenate(
             [x, jnp.zeros((b, h, w, c_end - ch), dtype)], axis=-1
         )
-        impl = conv_impl
-        if impl == "auto":
-            impl = "sliced" if x.shape[1] >= 64 else "taps"
         for li in range(n_layers):
             c_cur = ch + 32 * li
             lp = block["layers"][li]
             x = dense_layer_fused(
                 x, lp["a1"], lp["b1"], lp["w1f"], lp["b2"], lp["w2cat"],
                 n_active_groups=-(-c_cur // 128), slot=c_cur // 32,
-                conv_impl=impl, interpret=interpret,
+                interpret=interpret,
             )
         ch = c_end
         if bi != len(_BLOCK_CONFIG) - 1:

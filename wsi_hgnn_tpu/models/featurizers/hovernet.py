@@ -289,70 +289,28 @@ def node_types_on_device(tp_logits: jax.Array, nr_types: int = 6) -> jax.Array:
     return jnp.where(has_nucleus, jnp.argmax(nz, axis=-1) + 1, 0).astype(jnp.int32)
 
 
-def fuse_hovernet_d0(variables, dtype=jnp.bfloat16):
-    """Prefold the d0 block for the fused encoder path: (unit_params, af,
-    bf) consumed by ops.pallas_resblock.preact_block_fused. Call once
-    outside jit; pass the result as `d0_fused` to the apply helpers."""
-    from ...ops.pallas_resblock import fuse_preact_block
-
-    return fuse_preact_block(
-        variables["params"]["d0"], variables["batch_stats"]["d0"],
-        unit_count=3, dtype=dtype,
-    )
-
-
-def hovernet_encode_apply(model: "HoVerNet", variables, imgs: jax.Array,
-                          d0_fused=None, interpret: bool = False):
-    """Encoder with the d0 block optionally replaced by the fused Pallas
-    pre-act bottleneck kernel (ops/pallas_resblock.py — d0's three units at
-    full 256^2 resolution are the encoder's HBM-traffic hog, PERF_NOTES
-    round-3). Same math as HoVerNet.encode, equality-tested."""
-    if d0_fused is None:
-        return model.apply(variables, imgs, method="encode")
-
-    from ...ops.pallas_resblock import preact_block_fused
-
-    units, af, bf = d0_fused
-
-    def stem(m, v):
-        if m.mode == "fast":
-            v = tf_same_pad(v, 7, 1)
-        return m.bn0(m.conv0(v), False)
-
-    x = model.apply(variables, imgs, method=stem)
-    d0 = preact_block_fused(x, units, af, bf, interpret=interpret)
-    d1 = model.apply(variables, d0, method=lambda m, v: m.d1(v, False))
-    d2 = model.apply(variables, d1, method=lambda m, v: m.d2(v, False))
-    d3 = model.apply(variables, d2,
-                     method=lambda m, v: m.conv_bot(m.d3(v, False)))
-    if model.mode == "original":
-        d0 = crop_op(d0, (184, 184))
-        d1 = crop_op(d1, (72, 72))
-    else:
-        d0 = crop_op(d0, (92, 92))
-        d1 = crop_op(d1, (36, 36))
-    return d0, d1, d2, d3
-
-
 def hovernet_typing_apply(model: "HoVerNet", variables, imgs: jax.Array,
-                          nr_types: int = 6, d0_fused=None) -> jax.Array:
+                          nr_types: int = 6) -> jax.Array:
     """One jittable program: pixels [B,256,256,3] -> node types [B] int32
     (encoder + tp decoder + on-device majority typing). This is the typing
     stage the reference constructor ALWAYS runs
     (graph_constructor.py:239,:131-148) regardless of the feature encoder.
-    The np/hv segmentation branches are skipped — typing only consumes tp."""
-    d = hovernet_encode_apply(model, variables, imgs, d0_fused)
+    The np/hv segmentation branches are skipped — typing only consumes tp.
+    The encoder stays on XLA's convs: a fused Pallas pre-act-bottleneck d0
+    kernel was built and measured neutral-to-slower in-program (PERF_NOTES
+    round-3 d0 ladder) and dropped."""
+    d = model.apply(variables, imgs, method="encode")
     tp = model.apply(variables, "tp", d, method="decode_branch")
     return node_types_on_device(tp, nr_types)
 
 
 def hovernet_full_apply(model: "HoVerNet", variables, imgs: jax.Array,
-                        nr_types: int = 6, d0_fused=None):
+                        nr_types: int = 6):
     """One jittable program for the 'hover' encoder: pixels -> (features
     [B,1024] f32, node types [B] int32). fc1 runs as ChunkedDense inside the
     program (a lone monolithic dot over its [1M, 1024] kernel stalls this
     environment's AOT compiler; the 32-chunk lax.scan compiles fine)."""
-    d = hovernet_encode_apply(model, variables, imgs, d0_fused)
+    d = model.apply(variables, imgs, method="encode")
     tp = model.apply(variables, "tp", d, method="decode_branch")
     feats = model.apply(variables, d[3], method="feature_head")
     return feats.astype(jnp.float32), node_types_on_device(tp, nr_types)

@@ -91,53 +91,9 @@ def _kernel(x_ref, a1_ref, b1_ref, w1f_ref, b2_ref, w2_ref, y_ref, zp,
     y_ref[...] = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=-1)
 
 
-def _kernel_sliced(x_ref, a1_ref, b1_ref, w1f_ref, b2_ref, w2_ref, y_ref, vp,
-                   *, h, w, bb, pos, fresh_group):
-    """Sliced-matmul conv2 variant (PERF_NOTES round-2 'block1 gap' lever):
-    the bottleneck output v (128 ch) is written to the halo scratch instead
-    of the tap-major Z (288 ch), and the 3x3 conv runs as 9 shifted
-    [bb*h*w, 128] x [128, 32] GEMMs straight out of the scratch — 2.25x
-    less VPU/scratch traffic for 25% MXU lane waste (N=32 output tiles).
-    Same math as _kernel: y[i,j] = sum_t v[i+di-1, j+dj-1] @ W2cat[:, t]."""
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        vp[:, 0:1, :, :] = jnp.zeros_like(vp[:, 0:1, :, :])
-        vp[:, h + 1:h + 2, :, :] = jnp.zeros_like(vp[:, 0:1, :, :])
-        vp[:, :, 0:1, :] = jnp.zeros_like(vp[:, :, 0:1, :])
-        vp[:, :, w + 1:w + 2, :] = jnp.zeros_like(vp[:, :, 0:1, :])
-
-    raw = x_ref[...]                                  # [bb, H, W, K]
-    k_ch = raw.shape[-1]
-    x = raw.astype(jnp.float32)
-    u = jnp.maximum(x * a1_ref[0] + b1_ref[0], 0.0)
-    u = u.astype(w1f_ref.dtype).reshape(bb * h * w, k_ch)
-    z = jnp.dot(u, w1f_ref[...], preferred_element_type=jnp.float32)
-    v = jnp.maximum(z + b2_ref[0], 0.0)
-    vp[:, 1:h + 1, 1:w + 1, :] = v.reshape(bb, h, w, GROUP).astype(vp.dtype)
-    acc = jnp.zeros((bb * h * w, GROWTH), jnp.float32)
-    for di in range(3):
-        for dj in range(3):
-            t = di * 3 + dj
-            vblk = vp[:, di:di + h, dj:dj + w, :].reshape(bb * h * w, GROUP)
-            acc += jnp.dot(vblk, w2_ref[:, t * GROWTH:(t + 1) * GROWTH],
-                           preferred_element_type=jnp.float32)
-    y = acc.reshape(bb, h, w, GROWTH).astype(y_ref.dtype)
-    base = (jnp.zeros((bb, h, w, GROUP), y_ref.dtype) if fresh_group
-            else raw[..., k_ch - GROUP:])
-    pieces = []
-    if pos > 0:
-        pieces.append(base[..., :pos * GROWTH])
-    pieces.append(y)
-    if (pos + 1) * GROWTH < GROUP:
-        pieces.append(base[..., (pos + 1) * GROWTH:])
-    y_ref[...] = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=-1)
-
-
-@partial(jax.jit, static_argnames=("n_active_groups", "slot", "conv_impl",
-                                   "interpret"))
+@partial(jax.jit, static_argnames=("n_active_groups", "slot", "interpret"))
 def dense_layer_fused(x_full, a1, b1, w1f, b2, w2cat, *,
                       n_active_groups: int, slot: int,
-                      conv_impl: str = "taps",
                       interpret: bool = False):
     """One fused dense-layer step, updating x_full's slot in place.
 
@@ -146,8 +102,9 @@ def dense_layer_fused(x_full, a1, b1, w1f, b2, w2cat, *,
     w1f     [C_end, 128]    — conv1 kernel with norm2's scale folded in
     b2      [1, 128] f32    — norm2 folded shift
     w2cat   [128, 288]      — conv2 HWIO kernel as [I, tap*O], tap = 3*di+dj
-    conv_impl 'taps' (one [., 288] GEMM + 9 shifted VPU adds) or 'sliced'
-    (9 shifted [., 128]x[128, 32] GEMMs from a 128-ch scratch).
+    (conv2 factorisations were laddered on hardware — tap-major GEMM +
+    shifted adds vs 9 narrow GEMMs from a 128-ch scratch ('sliced', removed)
+    — taps won or tied at every block shape; PERF_NOTES round-3.)
     """
     b, h, w, c_end = x_full.shape
     assert c_end % GROUP == 0 and 0 < n_active_groups <= c_end // GROUP
@@ -164,9 +121,7 @@ def dense_layer_fused(x_full, a1, b1, w1f, b2, w2cat, *,
            and bb * 2 * h * w * k_ch * itemsize <= _X_BLOCK_BYTES):
         bb *= 2
 
-    kfn = _kernel_sliced if conv_impl == "sliced" else _kernel
-    scratch_ch = GROUP if conv_impl == "sliced" else 9 * GROWTH
-    kernel = partial(kfn, h=h, w=w, bb=bb, pos=pos,
+    kernel = partial(_kernel, h=h, w=w, bb=bb, pos=pos,
                      fresh_group=fresh_group)
     return pl.pallas_call(
         kernel,
@@ -192,7 +147,7 @@ def dense_layer_fused(x_full, a1, b1, w1f, b2, w2cat, *,
         ),
         out_shape=jax.ShapeDtypeStruct(x_full.shape, x_full.dtype),
         scratch_shapes=[
-            pltpu.VMEM((bb, h + 2, w + 2, scratch_ch), x_full.dtype),
+            pltpu.VMEM((bb, h + 2, w + 2, 9 * GROWTH), x_full.dtype),
         ],
         input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(

@@ -1,0 +1,169 @@
+"""Serving layer (wsi_hgnn_tpu/serve.py): checkpoint-loading predictor +
+micro-batching HTTP server. The reference has no serving path (inference
+is the evaluator's per-slide loop, eval_homo_graph.py:61-96); these tests
+pin the deployed-inference contract: padding invariance across request
+grouping, wire format, and that concurrent requests coalesce into fewer
+device calls."""
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from wsi_hgnn_tpu.config import loads_config, parse_gnn_model
+from wsi_hgnn_tpu.serve import BatchingServer, SlidePredictor
+from wsi_hgnn_tpu.train.checkpoint import CheckpointManager
+
+CFG_TMPL = """
+name: ServeTest
+GNN:
+  name: "{gnn}"
+  n_node_types: 6
+  num_layers: 2
+  in_dim: 16
+  hidden_dim: 32
+  out_dim: 2
+  n_heads: 2
+  feat_drop: 0.0
+  graph_pooling_type: mean
+checkpoint:
+  path: "{ckpt}"
+"""
+
+RADIUS = 4
+
+
+def make_predictor(tmp_path, gnn="GCN"):
+    import jax
+
+    from wsi_hgnn_tpu.graph.build import build_batch_device
+    from wsi_hgnn_tpu.graph import to_homogeneous
+
+    cfg = loads_config(CFG_TMPL.format(gnn=gnn, ckpt=str(tmp_path / "ckpt")))
+    model, is_hetero = parse_gnn_model(cfg["GNN"])
+    rng = np.random.RandomState(0)
+    f = rng.randn(1, 64, 16).astype(np.float32)
+    t = rng.randint(0, 6, (1, 64)).astype(np.int32)
+    m = np.ones((1, 64), bool)
+    g = build_batch_device(f, t, m, RADIUS, 6)
+    g = g if is_hetero else to_homogeneous(g)
+    variables = model.init(jax.random.PRNGKey(0), g)
+
+    cm = CheckpointManager(str(tmp_path / "ckpt"))
+    cm.write_new_version(
+        cfg, {"params": variables["params"],
+              "batch_stats": variables.get("batch_stats", {})},
+        {"Epoch": 1},
+    )
+    return SlidePredictor(cfg, radius=RADIUS, n_node_types=6)
+
+
+def _slide(n, seed):
+    rng = np.random.RandomState(seed)
+    return (rng.randn(n, 16).astype(np.float32),
+            rng.randint(0, 6, n).astype(np.int32))
+
+
+def test_predict_single_and_grouped_agree(tmp_path):
+    pred = make_predictor(tmp_path, "GCN")
+    slides = [_slide(60, 1), _slide(200, 2), _slide(37, 3)]
+    grouped = pred.predict_many(slides)
+    assert grouped.shape == (3, 2)
+    np.testing.assert_allclose(grouped.sum(1), 1.0, rtol=1e-5)
+    # grouping / padding must not change per-slide results
+    for s, expect in zip(slides, grouped):
+        np.testing.assert_allclose(pred.predict(*s), expect, atol=2e-5)
+
+
+def test_predict_hetero_model(tmp_path):
+    pred = make_predictor(tmp_path, "HEAT2")
+    probs = pred.predict(*_slide(50, 4))
+    assert probs.shape == (2,)
+    assert np.isfinite(probs).all()
+
+
+def test_predictor_restores_trained_weights(tmp_path):
+    """The predictor must serve the CHECKPOINTED weights, not fresh inits:
+    two predictors over the same checkpoint dir agree exactly."""
+    p1 = make_predictor(tmp_path, "GCN")
+    p2 = SlidePredictor(
+        loads_config(CFG_TMPL.format(gnn="GCN", ckpt=str(tmp_path / "ckpt"))),
+        radius=RADIUS, n_node_types=6,
+    )
+    s = _slide(64, 5)
+    np.testing.assert_allclose(p1.predict(*s), p2.predict(*s), atol=1e-6)
+    assert p2.version == 1
+
+
+def _post_npz(port, feats, ntypes):
+    buf = io.BytesIO()
+    np.savez(buf, features=feats, node_types=ntypes)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/predict", data=buf.getvalue(),
+        headers={"Content-Type": "application/octet-stream"},
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def test_http_server_batches_concurrent_requests(tmp_path):
+    pred = make_predictor(tmp_path, "GCN")
+    slides = [_slide(48, 10 + i) for i in range(6)]
+    expected = pred.predict_many(slides)  # also pre-compiles the program
+
+    server = BatchingServer(pred, max_batch=6, max_wait_ms=500.0)
+    server.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/healthz", timeout=10
+        ) as r:
+            health = json.loads(r.read())
+        assert health == {"status": "ok", "model_version": 1}
+
+        results = [None] * len(slides)
+
+        def call(i):
+            results[i] = _post_npz(server.port, *slides[i])
+
+        threads = [
+            threading.Thread(target=call, args=(i,))
+            for i in range(len(slides))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+
+        for i, r in enumerate(results):
+            assert r is not None, f"request {i} did not complete"
+            np.testing.assert_allclose(r["probs"], expected[i], atol=2e-5)
+            assert r["pred"] == int(np.argmax(expected[i]))
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/stats", timeout=10
+        ) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] == 6
+        assert stats["errors"] == 0
+        # concurrent requests must coalesce into fewer device calls
+        assert stats["batches"] < 6
+        assert stats["batched_requests_max"] >= 2
+    finally:
+        server.stop()
+
+
+def test_http_server_rejects_malformed_body(tmp_path):
+    pred = make_predictor(tmp_path, "GCN")
+    server = BatchingServer(pred)
+    server.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/predict", data=b"not-an-npz"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=10)
+        assert exc.value.code == 400
+    finally:
+        server.stop()

@@ -1,0 +1,324 @@
+"""Production serving: trained slide-graph models behind one predictor.
+
+The reference has no serving story — inference is `HomoGraphEvaluator`
+iterating a test split one pickled graph at a time
+(/root/reference/evaluator/eval_homo_graph.py:61-96). A deployed system
+needs the same capability as an online service: load a versioned
+checkpoint once, keep the compiled programs warm, and answer per-slide
+requests at high throughput. This module provides that, TPU-first:
+
+  * `SlidePredictor` — config + CheckpointManager -> jitted
+    features->graph->logits programs (the full on-device construction path
+    of `graph.build.build_batch_device`, so a request carries only the
+    [N, D] patch features + node types; the KNN/Pearson graph never exists
+    on the host). Per-slide buffers are padded to size buckets so the
+    whole request population compiles to a handful of XLA programs.
+  * `BatchingServer` — a stdlib ThreadingHTTPServer with a micro-batching
+    loop: concurrent requests landing within `max_wait_ms` of each other
+    are packed into ONE device program call (same-bucket slides stack on
+    the batch axis), amortising dispatch exactly like the training
+    cohort `lax.scan` does.
+
+Request wire format (POST /predict): an .npz body with `features`
+[N, D] f32 and optionally `node_types` [N] int — the same arrays
+`pipeline.construct` writes per slide — answered with JSON
+`{"probs": [...], "pred": k}`. GET /healthz and GET /stats are liveness
+and observability endpoints.
+"""
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from queue import Empty, Queue
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .config import parse_gnn_model
+from .graph import to_homogeneous
+from .graph.build import build_batch_device
+from .graph.typed_graph import bucket_size
+from .train.checkpoint import CheckpointManager
+
+
+class SlidePredictor:
+    """Loads a trained GNN from its versioned checkpoint dir and serves
+    per-slide predictions from patch features.
+
+    `config` is the training YAML dict (the reference's config surface,
+    main.py:40-47); the GNN section picks the model, the checkpoint
+    section the weights, and `radius`/`n_node_types` default to the
+    graph-construction operating point they were trained with.
+    """
+
+    def __init__(
+        self,
+        config: Dict,
+        radius: int = 9,
+        n_node_types: int = 6,
+        checkpoint_path: Optional[str] = None,
+        knn_impl: str = "exact",
+    ):
+        import jax
+
+        self.config = config
+        self.model, self.is_hetero = parse_gnn_model(config["GNN"])
+        self.radius = int(radius)
+        self.n_node_types = int(n_node_types)
+        self.knn_impl = knn_impl
+        path = checkpoint_path or config["checkpoint"]["path"]
+        self._load_variables(path)
+
+        model, is_hetero = self.model, self.is_hetero
+
+        @jax.jit
+        def _predict(variables, feats, ntypes, mask):
+            g = build_batch_device(
+                feats, ntypes, mask, self.radius, self.n_node_types,
+                knn_impl=self.knn_impl,
+            )
+            g = g if is_hetero else to_homogeneous(g)
+            logits = model.apply(variables, g, train=False)
+            return jax.nn.softmax(logits)
+
+        self._predict_fn = _predict
+        self._lock = threading.Lock()  # device calls serialized per predictor
+
+    def _load_variables(self, path: str) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        self.checkpoint_manager = CheckpointManager(path)
+        restored = self.checkpoint_manager.load_model_raw()
+        restored = jax.tree.map(jnp.asarray, restored)
+        self.variables = {"params": restored["params"]}
+        if restored.get("batch_stats"):
+            self.variables["batch_stats"] = restored["batch_stats"]
+        self.version = self.checkpoint_manager.version
+
+    # ---------------------------------------------------------------- #
+    def pack(
+        self, slides: Sequence[Tuple[np.ndarray, Optional[np.ndarray]]]
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Stack same-bucket slides into [B, N_cap, ...] padded buffers."""
+        cap = max(bucket_size(len(f), base=256) for f, _ in slides)
+        b = len(slides)
+        d = slides[0][0].shape[1]
+        feats = np.zeros((b, cap, d), np.float32)
+        ntypes = np.zeros((b, cap), np.int32)
+        mask = np.zeros((b, cap), bool)
+        for i, (f, t) in enumerate(slides):
+            n = len(f)
+            feats[i, :n] = f
+            if t is not None:
+                ntypes[i, :n] = t
+            mask[i, :n] = True
+        return feats, ntypes, mask
+
+    def predict_many(
+        self, slides: Sequence[Tuple[np.ndarray, Optional[np.ndarray]]]
+    ) -> np.ndarray:
+        """[(features [N_i, D], node_types [N_i] | None)] -> probs [B, C].
+        One compiled call for the whole group (slides are padded to the
+        group's bucket capacity)."""
+        feats, ntypes, mask = self.pack(slides)
+        import jax.numpy as jnp
+
+        with self._lock:
+            probs = self._predict_fn(
+                self.variables, jnp.asarray(feats), jnp.asarray(ntypes),
+                jnp.asarray(mask),
+            )
+        return np.asarray(probs)
+
+    def predict(
+        self, features: np.ndarray, node_types: Optional[np.ndarray] = None
+    ) -> np.ndarray:
+        """Single slide: features [N, D] (+ node types [N]) -> probs [C]."""
+        return self.predict_many([(np.asarray(features), node_types)])[0]
+
+    def warmup(self, n_patches: int = 2048, feat_dim: Optional[int] = None,
+               batch_sizes: Sequence[int] = (1,)) -> None:
+        """Pre-compile the predict program(s) so the first request doesn't
+        pay the XLA compile (~seconds warm-cache, minutes cold)."""
+        d = feat_dim or int(self.config["GNN"]["in_dim"])
+        rng = np.random.RandomState(0)
+        f = rng.randn(n_patches, d).astype(np.float32)
+        t = rng.randint(0, self.n_node_types, n_patches).astype(np.int32)
+        for b in batch_sizes:
+            self.predict_many([(f, t)] * b)
+
+
+# -------------------------------------------------------------------- #
+# Micro-batching HTTP server
+# -------------------------------------------------------------------- #
+class _Request:
+    __slots__ = ("features", "node_types", "event", "probs", "error")
+
+    def __init__(self, features, node_types):
+        self.features = features
+        self.node_types = node_types
+        self.event = threading.Event()
+        self.probs: Optional[np.ndarray] = None
+        self.error: Optional[str] = None
+
+
+class BatchingServer:
+    """HTTP front-end with a micro-batching device loop.
+
+    Handler threads enqueue requests; a single batcher thread drains the
+    queue, groups up to `max_batch` requests that arrive within
+    `max_wait_ms`, and issues ONE `predict_many` per group. Under
+    concurrent load the device sees large batches (high MXU utilisation);
+    a lone request pays at most `max_wait_ms` extra latency.
+    """
+
+    def __init__(
+        self,
+        predictor: SlidePredictor,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_batch: int = 8,
+        max_wait_ms: float = 5.0,
+    ):
+        self.predictor = predictor
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self.queue: "Queue[_Request]" = Queue()
+        self.stats = {
+            "requests": 0, "batches": 0, "errors": 0,
+            "batched_requests_max": 0, "latency_ms_sum": 0.0,
+        }
+        self._stats_lock = threading.Lock()
+        self._stop = threading.Event()
+
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _reply(self, code: int, payload: Dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._reply(200, {
+                        "status": "ok",
+                        "model_version": server.predictor.version,
+                    })
+                elif self.path == "/stats":
+                    with server._stats_lock:
+                        self._reply(200, dict(server.stats))
+                else:
+                    self._reply(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/predict":
+                    self._reply(404, {"error": "not found"})
+                    return
+                t0 = time.perf_counter()
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    z = np.load(io.BytesIO(self.rfile.read(length)),
+                                allow_pickle=False)
+                    feats = np.asarray(z["features"], np.float32)
+                    ntypes = (np.asarray(z["node_types"], np.int32)
+                              if "node_types" in z else None)
+                except Exception as e:
+                    self._reply(400, {"error": f"bad request: {e}"})
+                    return
+                req = _Request(feats, ntypes)
+                server.queue.put(req)
+                req.event.wait()
+                dt = (time.perf_counter() - t0) * 1e3
+                with server._stats_lock:
+                    server.stats["requests"] += 1
+                    server.stats["latency_ms_sum"] += dt
+                    if req.error:
+                        server.stats["errors"] += 1
+                if req.error:
+                    self._reply(500, {"error": req.error})
+                else:
+                    probs = [float(p) for p in req.probs]
+                    self._reply(200, {
+                        "probs": probs,
+                        "pred": int(np.argmax(req.probs)),
+                        "latency_ms": round(dt, 2),
+                    })
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.httpd.daemon_threads = True
+        self.port = self.httpd.server_address[1]
+        self._threads: List[threading.Thread] = []
+
+    # ---------------------------------------------------------------- #
+    def _batcher(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self.queue.get(timeout=0.1)
+            except Empty:
+                continue
+            group = [first]
+            deadline = time.perf_counter() + self.max_wait
+            while len(group) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    group.append(self.queue.get(timeout=remaining))
+                except Empty:
+                    break
+            try:
+                probs = self.predictor.predict_many(
+                    [(r.features, r.node_types) for r in group]
+                )
+                for r, p in zip(group, probs):
+                    r.probs = p
+            except Exception as e:  # propagate to every waiter
+                for r in group:
+                    r.error = f"{type(e).__name__}: {e}"
+            with self._stats_lock:
+                self.stats["batches"] += 1
+                self.stats["batched_requests_max"] = max(
+                    self.stats["batched_requests_max"], len(group)
+                )
+            for r in group:
+                r.event.set()
+
+    def start(self) -> None:
+        """Run both loops in background threads (in-process / test use)."""
+        for target in (self._batcher, self.httpd.serve_forever):
+            t = threading.Thread(target=target, daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def stop(self) -> None:
+        self._stop.set()
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+    def serve_forever(self) -> None:
+        """Blocking server: HTTP accept loop in a background thread, the
+        batcher — ALL device work, including XLA compiles of new size
+        buckets — on the calling (main) thread. On remote-compile
+        platforms (this environment's TPU relay) compiling off the main
+        thread with the persistent compile cache enabled aborts the
+        process, so the device loop must own the main thread."""
+        t = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        t.start()
+        self._threads.append(t)
+        try:
+            self._batcher()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self.stop()

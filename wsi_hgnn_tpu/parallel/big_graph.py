@@ -181,4 +181,7 @@ def make_big_graph_train_step(
         )
         return new_state, loss, probs
 
-    return jax.jit(step)
+    # donate the TrainState on device backends (same rationale as the
+    # single-device trainer: the old state is replaced, never re-read)
+    donate = () if jax.default_backend() == "cpu" else (0,)
+    return jax.jit(step, donate_argnums=donate)

@@ -64,7 +64,10 @@ def make_dp_train_step(
     # TrainState with `replicated(mesh)` and the stacked batch with
     # `data_sharded(mesh)` (see mesh.shard_stacked); jit propagates the
     # shardings and inserts the gradient all-reduce over the mesh.
-    return jax.jit(step)
+    # The TrainState is donated on device backends so params/opt-state
+    # updates alias their input buffers (CPU XLA can't donate — gate it).
+    donate = () if jax.default_backend() == "cpu" else (0,)
+    return jax.jit(step, donate_argnums=donate)
 
 
 def place_state(state: TrainState, mesh: Mesh) -> TrainState:

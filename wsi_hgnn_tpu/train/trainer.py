@@ -131,7 +131,13 @@ class GNNTrainer:
             print(f"big-graph mode: edge store sharded over {n_dev} devices "
                   f"(capacity {cap_e} > threshold {threshold})")
         else:
-            self._train_step = jax.jit(self._train_step_impl)
+            # donate the TrainState: params/opt-state updates alias their
+            # input buffers instead of allocating fresh HBM every step (the
+            # old state is always replaced, never re-read). CPU XLA can't
+            # donate these, so gate to device backends to keep tests quiet.
+            donate = () if jax.default_backend() == "cpu" else (0,)
+            self._train_step = jax.jit(self._train_step_impl,
+                                       donate_argnums=donate)
         # eval datasets, loaders (with their one-off capacity scans) and the
         # compiled eval forward are built once and reused every epoch — the
         # reference reloads the checkpoint and rescans the split per epoch

@@ -1,0 +1,263 @@
+"""Lattice TRAINING path: k-regular stored graphs packed to [B, N, k]
+(data/lattice_loader.py), the lattice augmentation transform, trainer
+auto-selection, and checkpoint interop with the TypedGraph evaluator.
+
+The constructor's graphs are always k-regular (each node gets radius-1
+KNN out-edges, graph_constructor.py:267-273, and hetero graphs carry no
+self-loops), so the flagship HEAT training runs entirely on the lattice
+fast path; irregular datasets must fall back to the TypedGraph step."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wsi_hgnn_tpu import models
+from wsi_hgnn_tpu.config import loads_config
+from wsi_hgnn_tpu.data import save_graph_npz
+from wsi_hgnn_tpu.data.datasets import GraphDataset
+from wsi_hgnn_tpu.data.lattice_loader import (
+    LatticeLoader,
+    pack_slide,
+    probe_lattice,
+    slide_regular_k,
+)
+from wsi_hgnn_tpu.data.loader import GraphLoader, dataset_capacities
+from wsi_hgnn_tpu.graph.build import build_graph
+from wsi_hgnn_tpu.models.lattice import (
+    HEATNet2Lattice,
+    lattice_train_transform,
+)
+from wsi_hgnn_tpu.train import GNNTrainer, HomoGraphEvaluator
+
+D, RADIUS = 16, 4  # k = 3
+
+
+def make_regular_cohort(tmpdir, n_slides=12, seed=0):
+    """Constructor-shaped cohort: per slide, class-shifted features ->
+    on-device KNN/Pearson build -> het npz (k-regular by construction)."""
+    rng = np.random.RandomState(seed)
+    paths, normals = [], []
+    for i in range(n_slides):
+        label = i % 2
+        n = rng.randint(20, 40)
+        feat = rng.randn(n, D).astype(np.float32) + label * 1.5
+        ntypes = rng.randint(0, 6, n).astype(np.int32)
+        het, _ = build_graph(feat, ntypes, radius=RADIUS, n_node_types=6)
+        ne = int(np.asarray(het.node_mask).sum())
+        ee = int(np.asarray(het.edge_mask).sum())
+        barcode = f"TCGA-{i:02d}-0000-01Z-00-DX1"
+        p = os.path.join(str(tmpdir), f"{barcode}.npz")
+        save_graph_npz(
+            p, np.asarray(het.feat)[:ne],
+            np.asarray(het.src)[:ee], np.asarray(het.dst)[:ee],
+            node_type=np.asarray(het.node_type)[:ne],
+            esign=np.asarray(het.esign)[:ee],
+            sim=np.asarray(het.sim)[:ee],
+            n_node_types=6, is_hetero=True,
+        )
+        paths.append(p)
+        if label == 0:
+            normals.append(barcode[:16])
+    train_list = os.path.join(str(tmpdir), "train.txt")
+    with open(train_list, "w") as f:
+        f.write("\n".join(paths))
+    normal_list = os.path.join(str(tmpdir), "normal.txt")
+    with open(normal_list, "w") as f:
+        f.write("\n".join(normals))
+    return train_list, normal_list
+
+
+def test_probe_and_pack_roundtrip(tmp_path):
+    train_list, normal_list = make_regular_cohort(tmp_path)
+    ds = GraphDataset(train_list, normal_list, "BRCA", "train")
+    probe = probe_lattice(ds)
+    assert probe is not None
+    k, cap_n = probe
+    assert k == RADIUS - 1
+
+    g, _ = ds[0]
+    feats, ntypes, mask, idx, sim, esign, emask = pack_slide(g, k, cap_n)
+    n = int(np.asarray(g.node_mask).sum())
+    assert mask[:n].all() and not mask[n:].any()
+    assert emask[:n].all() and not emask[n:].any()
+    # every packed edge exists in the typed edge set with matching sim
+    e = n * k
+    typed = {(int(s), int(d)): float(v) for s, d, v in
+             zip(np.asarray(g.src)[:e], np.asarray(g.dst)[:e],
+                 np.asarray(g.sim)[:e])}
+    for i in range(n):
+        for j in range(k):
+            assert (i, int(idx[i, j])) in typed
+            assert typed[(i, int(idx[i, j]))] == pytest.approx(sim[i, j])
+
+
+def _shared_batches(tmp_path, batch=2):
+    """The same 2 slides as a sorted TypedGraph batch and a lattice batch."""
+    train_list, normal_list = make_regular_cohort(tmp_path)
+    ds = GraphDataset(train_list, normal_list, "BRCA", "train")
+    k, cap_n = probe_lattice(ds)
+    cap = dataset_capacities(ds, batch)
+    tl = GraphLoader(ds, batch, shuffle=False, node_capacity=cap[0],
+                     edge_capacity=cap[1], prefetch=0)
+    ll = LatticeLoader(ds, batch, k, cap_n, shuffle=False, prefetch=0)
+    gt, yt, wt = tl._make_batch(list(range(batch)))
+    gl, yl, wl = ll._make_batch(list(range(batch)))
+    np.testing.assert_array_equal(yt, yl)
+    return gt, gl, yt, wt
+
+
+def test_packed_forward_matches_typed(tmp_path):
+    gt, gl, _, _ = _shared_batches(tmp_path)
+    kw = dict(in_dim=D, hidden_dim=32, out_dim=2, n_layers=2, n_heads=2,
+              n_node_types=6, dropout=0.0)
+    lat = HEATNet2Lattice(**kw)
+    typ = models.HEATNet2(**kw)
+    variables = lat.init(jax.random.PRNGKey(0), gl)
+    out_l = lat.apply(variables, gl, train=False)
+    out_t = typ.apply(variables, gt, train=False)
+    np.testing.assert_allclose(np.asarray(out_l), np.asarray(out_t),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_packed_gradients_match_typed(tmp_path):
+    gt, gl, labels, weights = _shared_batches(tmp_path)
+    kw = dict(in_dim=D, hidden_dim=32, out_dim=2, n_layers=2, n_heads=2,
+              n_node_types=6, dropout=0.0)
+    lat = HEATNet2Lattice(**kw)
+    typ = models.HEATNet2(**kw)
+    variables = lat.init(jax.random.PRNGKey(1), gl)
+    y = jnp.asarray(labels)
+
+    def loss_of(apply_fn, g):
+        def f(params):
+            logits = apply_fn({"params": params}, g, train=False)
+            lp = jax.nn.log_softmax(logits)
+            return -jnp.take_along_axis(lp, y[:, None], 1).mean()
+        return f
+
+    l_l, g_l = jax.value_and_grad(loss_of(lat.apply, gl))(variables["params"])
+    l_t, g_t = jax.value_and_grad(loss_of(typ.apply, gt))(variables["params"])
+    assert float(l_l) == pytest.approx(float(l_t), abs=2e-5)
+    flat_l = jax.tree.leaves(g_l)
+    flat_t = jax.tree.leaves(g_t)
+    for a, b in zip(flat_l, flat_t):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_lattice_transform_semantics(tmp_path):
+    _, gl, _, _ = _shared_batches(tmp_path)
+    out = lattice_train_transform(gl, jax.random.PRNGKey(7), p=0.5)
+    mask_b, emask_b = np.asarray(gl.mask), np.asarray(gl.emask)
+    mask_a, emask_a = np.asarray(out.mask), np.asarray(out.emask)
+    # masks only ever clear
+    assert not np.any(mask_a & ~mask_b)
+    assert not np.any(emask_a & ~emask_b)
+    # ~half the real nodes survive
+    frac = mask_a.sum() / mask_b.sum()
+    assert 0.25 < frac < 0.75
+    # no surviving edge touches a dropped endpoint
+    assert not np.any(emask_a & ~mask_a[:, :, None])
+    dst_mask = np.take_along_axis(
+        np.repeat(mask_a[:, None, :], mask_a.shape[1], 1),
+        np.asarray(out.idx), axis=2,
+    )
+    assert not np.any(emask_a & ~dst_mask)
+    # feature columns are zeroed wholesale, others preserved
+    fb, fa = np.asarray(gl.feats), np.asarray(out.feats)
+    col_zero = np.all(fa == 0, axis=(0, 1))
+    col_keep = np.all(fa == fb, axis=(0, 1))
+    assert np.all(col_zero | col_keep)
+    assert 0 < col_zero.sum() < fa.shape[-1]
+
+
+CFG_TMPL = """
+name: LatticeRun
+train_type: gnn
+eval_type: homo-graph
+gpu_ids: '0'
+datasets:
+  dataset: "BRCA"
+  task: "cancer classification"
+  train_path: "{train}"
+  eval_path: "{train}"
+  valid_path: "{train}"
+  normal_path: "{normal}"
+  num_workers: 0
+checkpoint:
+  path: "{ckpt}"
+  save_checkpoint_freq: 5
+optimizer:
+  opt_method: "ADAM"
+  lr: 0.003
+  weight_decay: 0.0005
+GNN:
+  name: "{gnn}"
+  n_node_types: 6
+  num_layers: 2
+  in_dim: 16
+  hidden_dim: 32
+  out_dim: 2
+  n_heads: 2
+  feat_drop: 0.1
+  graph_pooling_type: mean
+train:
+  num_epochs: {epochs}
+  batch_size: 4
+  loss: "CE"
+eval:
+  explainer_name: GemExplainer
+"""
+
+
+def test_trainer_auto_selects_lattice_and_interops(tmp_path):
+    train_list, normal_list = make_regular_cohort(tmp_path)
+    ckpt = str(tmp_path / "ckpt_lat")
+    cfg = loads_config(CFG_TMPL.format(train=train_list, normal=normal_list,
+                                       ckpt=ckpt, gnn="HEAT2", epochs=25))
+    trainer = GNNTrainer(cfg, seed=0)
+    assert trainer._lattice, "k-regular cohort must auto-select the lattice path"
+    stats = trainer.train(log_every=0)
+    assert stats["Testing Accuracy"] >= 0.9
+    # the TypedGraph evaluator restores the lattice-trained checkpoint
+    # (identical param tree) and reproduces the metrics
+    ev = HomoGraphEvaluator(cfg, verbose=False)
+    acc, f1, prec, rec, auc = ev.eval()
+    assert acc == pytest.approx(stats["Testing Accuracy"], abs=1e-4)
+    assert auc == pytest.approx(stats["Testing AUC"], abs=1e-3)
+
+
+def test_trainer_falls_back_on_irregular_dataset(tmp_path):
+    from test_train_e2e import make_synthetic_cohort
+
+    train_list, normal_list = make_synthetic_cohort(tmp_path, hetero=True)
+    ckpt = str(tmp_path / "ckpt_irreg")
+    cfg = loads_config(CFG_TMPL.format(train=train_list, normal=normal_list,
+                                       ckpt=ckpt, gnn="HEAT2", epochs=1))
+    trainer = GNNTrainer(cfg, seed=0)
+    assert not trainer._lattice
+    stats = trainer.train(log_every=0)
+    assert np.isfinite(stats["Train Loss: "])
+
+
+def test_lattice_off_switch(tmp_path):
+    train_list, normal_list = make_regular_cohort(tmp_path)
+    ckpt = str(tmp_path / "ckpt_off")
+    cfg = loads_config(CFG_TMPL.format(train=train_list, normal=normal_list,
+                                       ckpt=ckpt, gnn="HEAT2", epochs=1))
+    cfg["train"]["lattice"] = "off"
+    trainer = GNNTrainer(cfg, seed=0)
+    assert not trainer._lattice
+
+
+def test_irregular_slide_detected():
+    rng = np.random.RandomState(0)
+    feat = rng.randn(10, D).astype(np.float32)
+    from wsi_hgnn_tpu.graph import from_arrays
+
+    g = from_arrays(feat, np.array([0, 0, 1]), np.array([1, 2, 0]),
+                    n_node_types=6)
+    assert slide_regular_k(g) is None

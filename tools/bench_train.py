@@ -8,7 +8,9 @@ Relay-honest protocol (PERF_NOTES.md): K steps stream through one
 compiler's own flop count for the compiled step (cost_analysis), so it
 includes everything the program actually does, not just the GEMMs.
 
-Usage: python tools/bench_train.py [batch_size ...]   (default ladder: 2 4 8)
+Usage: python tools/bench_train.py [--lattice] [batch_size ...]
+(default ladder: 2 4 8; --lattice runs the same step on the [B, N, k]
+lattice twin — the path the trainer auto-selects for k-regular datasets)
 """
 from __future__ import annotations
 
@@ -24,7 +26,8 @@ V5E_BF16_PEAK = 197e12
 V5E_F32_PEAK = 49e12
 
 
-def main(batch: int = 2):
+def main(batch: int = 2, lattice: bool = False, agg_dtype: str = "float32",
+         agg_impl: str = "onehot"):
     import jax
     import jax.numpy as jnp
 
@@ -36,10 +39,16 @@ def main(batch: int = 2):
 
     from wsi_hgnn_tpu.graph.build import build_batch_device
     from wsi_hgnn_tpu.models import HEATNet4
+    from wsi_hgnn_tpu.models.lattice import (
+        HEATNet4Lattice,
+        build_lattice_device,
+    )
 
     n, d, t, radius, reps = 2048, 1024, 6, 9, 8
-    model = HEATNet4(in_dim=d, hidden_dim=512, out_dim=2, n_layers=2,
-                     n_heads=4, n_node_types=t, dropout=0.2)
+    kw = dict(in_dim=d, hidden_dim=512, out_dim=2, n_layers=2,
+              n_heads=4, n_node_types=t, dropout=0.2)
+    model = (HEATNet4Lattice(agg_dtype=agg_dtype, agg_impl=agg_impl, **kw)
+             if lattice else HEATNet4(**kw))
     tx = optax.adamw(1e-5, weight_decay=0.005)
 
     rng = np.random.RandomState(0)
@@ -47,7 +56,10 @@ def main(batch: int = 2):
     ntypes = jnp.asarray(rng.randint(0, t, (batch, n)).astype(np.int32))
     mask = jnp.ones((batch, n), bool)
     labels = jnp.asarray(rng.randint(0, 2, batch).astype(np.int32))
-    g = build_batch_device(feats, ntypes, mask, radius, t)
+    if lattice:
+        g = build_lattice_device(feats, ntypes, mask, radius, t)
+    else:
+        g = build_batch_device(feats, ntypes, mask, radius, t)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), g)
     params = variables["params"]
     opt_state = tx.init(params)
@@ -89,9 +101,11 @@ def main(batch: int = 2):
         np.asarray(compiled(params, opt_state, g))
         best = min(best, time.perf_counter() - t0)
     per_step = best / reps * 1e3
-    line = (f"HEAT4 h512 train step (fwd+bwd+adamw), batch {batch} x {n} "
-            f"nodes: {per_step:.2f} ms/step = {batch / (per_step / 1e3):.0f} "
-            f"slides/s training throughput")
+    path = (f"lattice {agg_impl} agg={agg_dtype}" if lattice
+            else "TypedGraph")
+    line = (f"HEAT4 h512 train step (fwd+bwd+adamw, {path} path), batch "
+            f"{batch} x {n} nodes: {per_step:.2f} ms/step = "
+            f"{batch / (per_step / 1e3):.0f} slides/s training throughput")
     if flops_per_step:
         mfu = flops_per_step / (per_step / 1e3) / V5E_BF16_PEAK
         line += (f"; XLA-counted {flops_per_step / 1e9:.1f} GFLOP/step -> "
@@ -102,5 +116,12 @@ def main(batch: int = 2):
 
 
 if __name__ == "__main__":
-    for b in [int(a) for a in sys.argv[1:]] or [2, 4, 8]:
-        main(b)
+    args = sys.argv[1:]
+    lattice = "--lattice" in args
+    bf16_agg = "--bf16-agg" in args
+    sorted_agg = "--sorted" in args
+    args = [a for a in args if a not in ("--lattice", "--bf16-agg", "--sorted")]
+    for b in [int(a) for a in args] or [2, 4, 8]:
+        main(b, lattice=lattice,
+             agg_dtype="bfloat16" if bf16_agg else "float32",
+             agg_impl="sorted" if sorted_agg else "onehot")

@@ -186,6 +186,29 @@ def parse_gnn_model(config_gnn: dict) -> Tuple[Any, bool]:
     raise NotImplementedError(f"This GNN model is not implemented: {name!r}")
 
 
+def parse_lattice_twin(config_gnn: dict):
+    """The lattice fast-path twin of a GNN config, or None when the model
+    has no lattice form. Twins share the exact flax param tree with their
+    TypedGraph models (models/lattice.py), so checkpoints written by either
+    path load in the other."""
+    name = config_gnn["name"]
+    if name not in ("HEAT2", "HEAT4"):
+        return None
+    from .models.lattice import HEATNet2Lattice, HEATNet4Lattice
+
+    cls = HEATNet2Lattice if name == "HEAT2" else HEATNet4Lattice
+    return cls(
+        in_dim=config_gnn["in_dim"],
+        hidden_dim=config_gnn["hidden_dim"],
+        out_dim=config_gnn["out_dim"],
+        n_layers=config_gnn["num_layers"],
+        n_heads=config_gnn["n_heads"],
+        n_node_types=config_gnn["n_node_types"],
+        dropout=config_gnn["feat_drop"],
+        graph_pooling_type=config_gnn["graph_pooling_type"],
+    )
+
+
 def parse_optimizer(config_optim: dict) -> optax.GradientTransformation:
     """Optimizer from the `optimizer:` section (reference parser.py:16-45).
 

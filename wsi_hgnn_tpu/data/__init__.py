@@ -9,8 +9,11 @@ from .datasets import (
     save_graph_npz,
 )
 from .loader import GraphLoader, dataset_capacities
+from .lattice_loader import LatticeLoader, probe_lattice
 
 __all__ = [
+    "LatticeLoader",
+    "probe_lattice",
     "C16EvalDataset",
     "WSIData",
     "GraphDataset",

@@ -274,5 +274,10 @@ def typed_linear(
     all_out = jnp.einsum(
         "nd,tdh->tnh", feat, weights, preferred_element_type=feat.dtype
     )
-    sel = all_out[node_type, jnp.arange(feat.shape[0])]
-    return sel + biases[node_type]
+    # select via one-hot contraction, not fancy indexing: picking exactly
+    # one f32 term is bit-identical to the gather, but the gather's autodiff
+    # transpose is a [N]-row scatter into [T, N, H] (slow on TPU) while the
+    # contraction's is a broadcast multiply
+    oh = jax.nn.one_hot(node_type, weights.shape[0], dtype=feat.dtype)
+    sel = jnp.einsum("tnh,nt->nh", all_out, oh)
+    return sel + oh @ biases

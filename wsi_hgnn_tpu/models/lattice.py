@@ -75,6 +75,31 @@ def build_lattice_device(features, node_types, mask, radius: int,
                         idx, sim, esign, emask)
 
 
+def lattice_train_transform(g: LatticeGraph, key: jax.Array,
+                            p: float = 0.5) -> LatticeGraph:
+    """The reference's training augmentation (DropNode -> DropEdge ->
+    NodeShuffle -> FeatMask, /root/reference/data.py:16-23) on the lattice
+    form — the same mask-op semantics as graph.transforms.train_transform:
+    dropping a node clears it and every incident edge, DropEdge thins the
+    survivors (self-edges exempt, though KNN lattices have none —
+    graph_constructor.py:273 skips the query point itself), NodeShuffle is
+    the identity isomorphism, FeatMask zeroes feature columns."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    b, n, _ = g.idx.shape
+    keep_n = jax.random.bernoulli(k1, 1.0 - p, (b, n))
+    mask = g.mask & keep_n
+    keep_dst = jax.vmap(lambda kb, ib: kb[ib])(keep_n, g.idx)
+    emask = g.emask & keep_n[:, :, None] & keep_dst
+
+    keep_e = jax.random.bernoulli(k2, 1.0 - p, g.idx.shape)
+    self_loop = g.idx == jnp.arange(n, dtype=g.idx.dtype)[None, :, None]
+    emask = emask & (keep_e | self_loop)
+
+    keep_col = jax.random.bernoulli(k3, 1.0 - p, (g.feats.shape[-1],))
+    feats = g.feats * keep_col[None, None, :].astype(g.feats.dtype)
+    return g._replace(feats=feats, mask=mask, emask=emask)
+
+
 def _rel_presence(g: LatticeGraph, t: int):
     """(dst_denom [T], type_present [T]) — batch-level relation presence,
     matching TypedGraph._presence / dgl cross_reducer='mean' semantics."""
@@ -106,6 +131,38 @@ def build_dst_onehot(g: LatticeGraph, dtype=jnp.float32) -> jax.Array:
     b, n, k = g.idx.shape
     a = jax.nn.one_hot(g.idx.reshape(b, n * k), n, dtype=dtype)
     return a * g.emask.reshape(b, n * k, 1).astype(dtype)
+
+
+@jax.custom_vjp
+def gather_dst(vals: jax.Array, idx: jax.Array, a_mat: jax.Array):
+    """vals[b, idx[b, i, j], :] with a GEMM-transposed VJP.
+
+    Forward is a plain per-batch row gather ([B, N, Q] at [B, N, k] ->
+    [B, N, k, Q]) — gathers are cheap on TPU. The AUTODIFF transpose of a
+    gather, however, is a scatter-add, TPU's weakest primitive (~4-5 ms per
+    [N*k, 512] scatter at the training operating point, PERF_NOTES r3);
+    this custom VJP reuses the layer's one-hot destination matrix to run
+    the transpose as `a_mat^T @ grad` on the MXU instead — the exact same
+    contraction as the forward dst_reduce."""
+    del a_mat
+    return jax.vmap(lambda v, i: v[i])(vals, idx)
+
+
+def _gather_dst_fwd(vals, idx, a_mat):
+    return gather_dst(vals, idx, a_mat), a_mat
+
+
+def _gather_dst_bwd(a_mat, g):
+    b, n, k, q = g.shape
+    flat = g.reshape(b, n * k, q)
+    dvals = jnp.einsum(
+        "bem,beq->bmq", a_mat, flat.astype(a_mat.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(g.dtype)
+    return dvals, None, None
+
+
+gather_dst.defvjp(_gather_dst_fwd, _gather_dst_bwd)
 
 
 def build_dst_sort(g: LatticeGraph):
@@ -153,19 +210,8 @@ class HEATLayerLattice(nn.Module):
         qv = TypedDense(t, self.out_dim, name="q_linears")(flat_h, flat_ty)
         vv = TypedDense(t, self.out_dim, name="v_linears")(flat_h, flat_ty)
         kk = kv.reshape(b, n, n_h, d_k)
-        qq = qv.reshape(b, n, n_h, d_k)
         vv = vv.reshape(b, n, n_h, d_k)
         skip = self.param("skip", nn.initializers.ones, (t,))
-
-        # per-edge scores: q[dst] . k[src]; q rows gathered at idx -> [B,N,k,H,dk]
-        q_dst = jax.vmap(lambda q_b, idx_b: q_b[idx_b])(qq, g.idx)
-        ea = nn.Dense(1, name="e_linear")(g.sim[..., None])[..., 0]  # [B,N,k]
-        score = (q_dst * kk[:, :, None]).sum(-1) * ea[..., None] / sqrt_dk
-        score = jnp.clip(score, -_CLAMP, _CLAMP)           # [B, N, k, H]
-        exp_s = jnp.where(g.emask[..., None], jnp.exp(score), 0.0)
-
-        combo = g.esign * t + g.ntypes[:, :, None]          # [B, N, k]
-        combo_oh = jax.nn.one_hot(combo, n_combo, dtype=h.dtype)
 
         # destination-indexed reductions: GEMMs against a one-hot
         # [B, N*k, N] shared across layers via a_mat (the measured winner;
@@ -192,15 +238,37 @@ class HEATLayerLattice(nn.Module):
                     preferred_element_type=jnp.float32,
                 )
 
+        def edge_gather(vals_q):
+            """[B, N, Q] -> rows at g.idx -> [B, N, k, Q]; GEMM-VJP via
+            gather_dst on the onehot path (a plain gather's autodiff
+            transpose is a TPU scatter — the measured train-step bound)."""
+            if self.agg_impl == "sorted":
+                return jax.vmap(lambda v, i: v[i])(vals_q, g.idx)
+            return gather_dst(vals_q, g.idx, a_mat)
+
+        # per-edge scores: q[dst] . k[src]; q rows gathered at idx -> [B,N,k,H,dk]
+        q_dst = edge_gather(qv.reshape(b, n, self.out_dim)).reshape(
+            b, n, k, n_h, d_k
+        )
+        ea = nn.Dense(1, name="e_linear")(g.sim[..., None])[..., 0]  # [B,N,k]
+        score = (q_dst * kk[:, :, None]).sum(-1) * ea[..., None] / sqrt_dk
+        score = jnp.clip(score, -_CLAMP, _CLAMP)           # [B, N, k, H]
+        exp_s = jnp.where(g.emask[..., None], jnp.exp(score), 0.0)
+
+        combo = g.esign * t + g.ntypes[:, :, None]          # [B, N, k]
+        combo_oh = jax.nn.one_hot(combo, n_combo, dtype=h.dtype)
+
         # denominators per (dst, combo, head)
         num_flat = (combo_oh[..., :, None] * exp_s[..., None, :]).reshape(
             b, n * k, n_combo * n_h
         )
-        den = dst_reduce(num_flat.astype(adt)).reshape(b, n, n_combo, n_h)
-        den_edge = jax.vmap(lambda d_b, idx_b: d_b[idx_b])(den, g.idx)  # [B,N,k,combo,H]
-        den_sel = jnp.take_along_axis(
-            den_edge, combo[..., None, None], axis=3
-        )[..., 0, :]                                           # [B, N, k, H]
+        den = dst_reduce(num_flat.astype(adt))              # [B, N, combo*H]
+        den_edge = edge_gather(den.reshape(b, n, n_combo * n_h)).reshape(
+            b, n, k, n_combo, n_h
+        )
+        # combo select as a one-hot multiply-sum (take_along_axis here
+        # would put another scatter in the backward)
+        den_sel = (den_edge * combo_oh[..., None]).sum(3)   # [B, N, k, H]
         # double-where safe division: den_sel == 0 on edges whose dst is a
         # padded node; a plain eps-clamp makes the VJP compute 0/eps^2 with
         # eps^2 underflowing to 0 -> NaN gradients (x/y backward is -x/y^2)
@@ -213,6 +281,10 @@ class HEATLayerLattice(nn.Module):
         msg = (attn[..., None] * vv[:, :, None]).reshape(b, n * k, n_h * d_k)
         agg = dst_reduce(msg.astype(adt)).reshape(b * n, self.out_dim)
 
+        # NOTE: the [N]-gathers from [T] vectors below (dst_denom, skip)
+        # keep fancy indexing on purpose — replacing them with one-hot
+        # matmuls measured no win (12.5-13.3 -> 13.5-14.0 ms/step; their
+        # scatter transposes are tiny, the extra [N, T] operands are not)
         denom = jnp.maximum(dst_denom, 1.0)[flat_ty][:, None]
         t_agg = agg / denom
         trans = TypedDense(t, self.out_dim, name="a_linears")(t_agg, flat_ty)

@@ -98,26 +98,70 @@ class GNNTrainer:
         # graph-context parallelism: when a batch's edge store exceeds the
         # threshold and >1 device is available, shard edges over the mesh
         # and train with the collective-aware step (parallel/big_graph.py) —
-        # the SP analog of SURVEY.md §2.4 for slides too big for one chip
+        # the SP analog of SURVEY.md §2.4 for slides too big for one chip.
+        # Takes precedence over the lattice path: the lattice one-hot
+        # aggregation materialises [B, N*k, N] and cannot serve graphs that
+        # exceed one chip.
         n_dev = jax.local_device_count()
         threshold = self.config_train.get("big_graph_edge_threshold", 1_000_000)
         self._big_graph = n_dev > 1 and cap_e > threshold
         if self._big_graph:
             cap_e = ((cap_e + n_dev - 1) // n_dev) * n_dev
 
-        self.loader = GraphLoader(
-            self.train_data,
-            self.batch_size,
-            shuffle=True,
-            seed=seed,
-            node_capacity=cap_n,
-            edge_capacity=cap_e,
-        )
+        # lattice fast path (PERF_NOTES): HEAT2/HEAT4 on a k-regular
+        # dataset train on the [B, N, k] lattice twin — identical param
+        # tree, destination reductions as one-hot GEMMs instead of segment
+        # scatters. Auto-selected; `train.lattice: off` disables.
+        self._lattice = False
+        self._lat_model = None
+        self._lat_eval_fwd = None
+        self._lat_eval_splits: Dict[str, Any] = {}
+        if not self._big_graph and self.is_hetero and str(
+            self.config_train.get("lattice", "auto")
+        ).lower() not in ("off", "false", "0"):
+            from ..config import parse_lattice_twin
+
+            self._lat_model = parse_lattice_twin(self.config_gnn)
+        if self._lat_model is not None:
+            from ..data.lattice_loader import LatticeLoader, probe_lattice
+
+            probe = probe_lattice(self.train_data)
+            # the one-hot destination matrix is the lattice path's working
+            # set: [B, N*k, N] f32; stay on the segment path when it would
+            # not comfortably fit (2 GB default budget)
+            budget = self.config_train.get("lattice_mem_budget", 2 << 30)
+            if probe is not None and (
+                self.batch_size * probe[1] * probe[0] * probe[1] * 4 <= budget
+            ):
+                self._lattice = True
+                self._lat_k, lat_cap_n = probe
+                self.loader = LatticeLoader(
+                    self.train_data, self.batch_size, self._lat_k,
+                    lat_cap_n, shuffle=True, seed=seed,
+                )
+                print(f"lattice mode: {self._lat_k}-regular graphs, "
+                      f"node capacity {lat_cap_n}")
+            else:
+                self._lat_model = None
+
+        if not self._lattice:
+            self.loader = GraphLoader(
+                self.train_data,
+                self.batch_size,
+                shuffle=True,
+                seed=seed,
+                node_capacity=cap_n,
+                edge_capacity=cap_e,
+            )
 
         self.rng = jax.random.PRNGKey(seed)
         self.state: Optional[TrainState] = None
         self.start_epoch = 0
-        if self._big_graph:
+        if self._lattice:
+            donate = () if jax.default_backend() == "cpu" else (0,)
+            self._train_step = jax.jit(self._train_step_lattice_impl,
+                                       donate_argnums=donate)
+        elif self._big_graph:
             from ..parallel import make_mesh
             from ..parallel.big_graph import make_big_graph_train_step, shard_edges
 
@@ -150,9 +194,14 @@ class GNNTrainer:
     def _prepare_graph(self, g: TypedGraph) -> TypedGraph:
         return g if self.is_hetero else to_homogeneous(g)
 
-    def init_state(self, example: TypedGraph) -> TrainState:
+    def init_state(self, example) -> TrainState:
         init_rng, self.rng = jax.random.split(self.rng)
-        variables = self.model.init(init_rng, self._prepare_graph(example))
+        if self._lattice:
+            # the lattice twin's param tree is IDENTICAL to the TypedGraph
+            # model's (models/lattice.py), so checkpoints stay interchangeable
+            variables = self._lat_model.init(init_rng, example)
+        else:
+            variables = self.model.init(init_rng, self._prepare_graph(example))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.tx.init(params)
@@ -220,6 +269,33 @@ class GNNTrainer:
         new_state = state.replace(
             params=new_params,
             batch_stats=new_bs,
+            opt_state=new_opt,
+            rng=rng,
+            step=state.step + 1,
+        )
+        return new_state, loss, jax.nn.softmax(logits)
+
+    def _train_step_lattice_impl(self, state: TrainState, graph, labels, weights):
+        from ..models.lattice import lattice_train_transform
+
+        rng, aug_key, drop_key = jax.random.split(state.rng, 3)
+        graph = lattice_train_transform(graph, aug_key)
+
+        def loss_fn(params):
+            logits = self._lat_model.apply(
+                {"params": params}, graph, train=True,
+                rngs={"dropout": drop_key},
+            )
+            loss = self.loss_fcn(logits, labels, weights)
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(
+            params=new_params,
             opt_state=new_opt,
             rng=rng,
             step=state.step + 1,
@@ -317,7 +393,50 @@ class GNNTrainer:
             "rng": self.state.rng,
         }
 
+    def _evaluate_split_lattice(self, split_path: str):
+        """Per-epoch eval on the lattice path (falls back to the TypedGraph
+        evaluator — same params, same metrics — when a split is irregular)."""
+        from ..data.lattice_loader import LatticeLoader, probe_lattice
+
+        if split_path not in self._lat_eval_splits:
+            data, average = select_dataset(self.config_data, split_path, "eval")
+            probe = probe_lattice(data)
+            self._lat_eval_splits[split_path] = (
+                None if probe is None
+                else (average, LatticeLoader(data, 8, probe[0], probe[1],
+                                             shuffle=False))
+            )
+        entry = self._lat_eval_splits[split_path]
+        if entry is None:
+            return None
+        average, loader = entry
+        if self._lat_eval_fwd is None:
+            model = self._lat_model
+
+            @jax.jit
+            def fwd(variables, g):
+                return jax.nn.softmax(model.apply(variables, g, train=False))
+
+            self._lat_eval_fwd = fwd
+        probs, labels = [], []
+        for gb, lb, w in loader:
+            p = np.asarray(self._lat_eval_fwd({"params": self.state.params}, gb))
+            real = w > 0
+            probs.append(p[real])
+            labels.append(lb[real])
+        prob = np.concatenate(probs)
+        label = np.concatenate(labels)
+        precision, recall, f1, auc = metrics(prob, label, average=average)
+        return {
+            "acc": accuracy(prob, label), "f1": f1, "precision": precision,
+            "recall": recall, "auc": auc, "prob": prob, "label": label,
+        }
+
     def evaluate_split(self, split_path: str) -> Dict[str, float]:
+        if self._lattice:
+            m = self._evaluate_split_lattice(split_path)
+            if m is not None:
+                return m
         if split_path not in self._eval_splits:
             data, average = select_dataset(self.config_data, split_path, "eval")
             self._eval_splits[split_path] = (data, average, make_eval_loader(data))

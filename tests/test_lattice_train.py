@@ -222,12 +222,24 @@ def test_trainer_auto_selects_lattice_and_interops(tmp_path):
     assert trainer._lattice, "k-regular cohort must auto-select the lattice path"
     stats = trainer.train(log_every=0)
     assert stats["Testing Accuracy"] >= 0.9
-    # the TypedGraph evaluator restores the lattice-trained checkpoint
-    # (identical param tree) and reproduces the metrics
+    # the evaluator restores the lattice-trained checkpoint; its own
+    # lattice auto-selection must reproduce the trainer's metrics ...
     ev = HomoGraphEvaluator(cfg, verbose=False)
+    assert ev._lattice_entry() is not None
     acc, f1, prec, rec, auc = ev.eval()
     assert acc == pytest.approx(stats["Testing Accuracy"], abs=1e-4)
     assert auc == pytest.approx(stats["Testing AUC"], abs=1e-3)
+    # ... and so must the TypedGraph path (identical param tree, exact
+    # checkpoint interop; train.lattice: off forces it)
+    import copy
+
+    cfg_t = copy.deepcopy(cfg)
+    cfg_t["train"]["lattice"] = "off"
+    ev_t = HomoGraphEvaluator(cfg_t, verbose=False)
+    assert ev_t._lattice_entry() is None
+    acc_t, _, _, _, auc_t = ev_t.eval()
+    assert acc_t == pytest.approx(acc, abs=1e-4)
+    assert auc_t == pytest.approx(auc, abs=1e-3)
 
 
 def test_trainer_falls_back_on_irregular_dataset(tmp_path):

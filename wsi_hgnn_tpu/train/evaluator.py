@@ -122,6 +122,57 @@ class HomoGraphEvaluator:
         data, self.average = self._select_dataset(self.config_data, path, "eval")
         return data
 
+    def _lattice_entry(self):
+        """(lattice twin, loader) for the current dataset when the model
+        has a lattice form and every graph is k-regular, else None (same
+        auto-selection as the trainer; `train.lattice: off` disables)."""
+        if not hasattr(self, "_lat_cache"):
+            self._lat_cache = {}
+            self._lat_fwd = None
+        key = id(self.test_data)
+        if key not in self._lat_cache:
+            entry = None
+            pref = str(
+                self.config.get("train", {}).get("lattice", "auto")
+            ).lower()
+            if self.is_hetero and pref not in ("off", "false", "0"):
+                from ..config import parse_lattice_twin
+                from ..data.lattice_loader import LatticeLoader, probe_lattice
+
+                twin = parse_lattice_twin(self.config_gnn)
+                if twin is not None:
+                    probe = probe_lattice(self.test_data)
+                    if probe is not None:
+                        entry = (twin, LatticeLoader(
+                            self.test_data, 8, probe[0], probe[1],
+                            shuffle=False,
+                        ))
+            self._lat_cache[key] = entry
+        return self._lat_cache[key]
+
+    def _eval_lattice(self, twin, loader):
+        if self._lat_fwd is None:
+            @jax.jit
+            def fwd(variables, g):
+                return jax.nn.softmax(twin.apply(variables, g, train=False))
+
+            self._lat_fwd = fwd
+        probs, labels = [], []
+        for gb, lb, w in loader:
+            p = np.asarray(
+                self._lat_fwd({"params": self.variables["params"]}, gb)
+            )
+            real = w > 0
+            probs.append(p[real])
+            labels.append(lb[real])
+        prob = np.concatenate(probs)
+        label = np.concatenate(labels)
+        precision, recall, f1, auc = metrics(prob, label, average=self.average)
+        return {
+            "acc": accuracy(prob, label), "f1": f1, "precision": precision,
+            "recall": recall, "auc": auc, "prob": prob, "label": label,
+        }
+
     def eval(self):
         # cache the compiled forward and the per-dataset loader so repeated
         # eval() calls (e.g. test then val, every epoch) don't rescan the
@@ -129,13 +180,17 @@ class HomoGraphEvaluator:
         if not hasattr(self, "_fwd"):
             self._fwd = make_eval_fn(self.model, self.is_hetero)
             self._loaders = {}
-        key = id(self.test_data)
-        if key not in self._loaders:
-            self._loaders[key] = make_eval_loader(self.test_data)
-        m = evaluate(
-            self.model, self.variables, self.test_data, self.average,
-            self.is_hetero, loader=self._loaders[key], fwd=self._fwd,
-        )
+        lat = self._lattice_entry()
+        if lat is not None:
+            m = self._eval_lattice(*lat)
+        else:
+            key = id(self.test_data)
+            if key not in self._loaders:
+                self._loaders[key] = make_eval_loader(self.test_data)
+            m = evaluate(
+                self.model, self.variables, self.test_data, self.average,
+                self.is_hetero, loader=self._loaders[key], fwd=self._fwd,
+            )
         if self.verbose:
             print(
                 "Metrics ==> [Acc: {acc:.4f} | F1: {f1:.4f} | Ps: {precision:.4f}"

@@ -127,3 +127,68 @@ def test_dp_featurizer_matches_single_device():
     out = fn(variables, patches)
     assert len(set(d.device for d in out.addressable_shards)) == jax.device_count()
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_dp_lattice_gradients_match_single_device():
+    """DP lattice step over the mesh == the same step on one device."""
+    from wsi_hgnn_tpu.config import (
+        loads_config,
+        parse_lattice_twin,
+        parse_loss,
+        parse_optimizer,
+    )
+    from wsi_hgnn_tpu.models.lattice import build_lattice_device
+    from wsi_hgnn_tpu.parallel import make_dp_lattice_train_step, place_state
+    from wsi_hgnn_tpu.train.trainer import TrainState
+
+    cfg = loads_config(
+        """
+GNN:
+  name: "HEAT4"
+  n_node_types: 6
+  num_layers: 1
+  in_dim: 8
+  hidden_dim: 16
+  out_dim: 2
+  n_heads: 2
+  feat_drop: 0.0
+  graph_pooling_type: mean
+optimizer: {opt_method: "ADAM", lr: 0.001, weight_decay: 0.0}
+train: {loss: "CE"}
+"""
+    )
+    model = parse_lattice_twin(cfg["GNN"])
+    assert model is not None
+    tx = parse_optimizer(cfg["optimizer"])
+    loss_fcn = parse_loss(cfg["train"])
+
+    n_dev, b, n, d = 4, 2, 32, 8
+    rng = np.random.RandomState(3)
+    feats = jnp.asarray(rng.randn(n_dev, b, n, d).astype(np.float32))
+    ntypes = jnp.asarray(rng.randint(0, 6, (n_dev, b, n)).astype(np.int32))
+    mask = jnp.ones((n_dev, b, n), dtype=bool)
+    labels = jnp.asarray(rng.randint(0, 2, (n_dev, b)).astype(np.int32))
+    weights = jnp.ones((n_dev, b), dtype=jnp.float32)
+
+    build = jax.vmap(lambda f, t, m: build_lattice_device(f, t, m, 4, 6))
+    graphs = build(feats, ntypes, mask)
+    g0 = jax.tree.map(lambda x: x[0], graphs)
+    variables = model.init(jax.random.PRNGKey(0), g0)
+    state = TrainState(
+        params=variables["params"], batch_stats={},
+        opt_state=tx.init(variables["params"]),
+        rng=jax.random.PRNGKey(42), step=jnp.zeros((), jnp.int32),
+    )
+
+    mesh = make_mesh(4)
+    dp_step = make_dp_lattice_train_step(model, tx, loss_fcn, mesh, augment=False)
+    new_dp, loss_dp, probs_dp = dp_step(
+        place_state(state, mesh), shard_stacked(graphs, mesh),
+        shard_stacked(labels, mesh), shard_stacked(weights, mesh),
+    )
+    new_1, loss_1, _ = dp_step(state, graphs, labels, weights)
+
+    assert abs(float(loss_dp) - float(loss_1)) < 1e-5
+    assert np.all(np.isfinite(np.asarray(probs_dp)))
+    for a, b_ in zip(jax.tree.leaves(new_dp.params), jax.tree.leaves(new_1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-6)

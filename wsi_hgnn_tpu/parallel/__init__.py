@@ -8,7 +8,7 @@ from .mesh import (
     shard_stacked,
     stack_graphs,
 )
-from .dp import make_dp_train_step, place_state
+from .dp import make_dp_lattice_train_step, make_dp_train_step, place_state
 from .big_graph import make_big_graph_train_step, shard_edges, sharded_apply
 
 __all__ = [
@@ -19,6 +19,7 @@ __all__ = [
     "replicated",
     "shard_stacked",
     "stack_graphs",
+    "make_dp_lattice_train_step",
     "make_dp_train_step",
     "place_state",
     "make_big_graph_train_step",

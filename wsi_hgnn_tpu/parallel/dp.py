@@ -70,6 +70,53 @@ def make_dp_train_step(
     return jax.jit(step, donate_argnums=donate)
 
 
+def make_dp_lattice_train_step(
+    model,
+    tx,
+    loss_fcn: Callable,
+    mesh: Mesh,
+    augment: bool = True,
+) -> Callable:
+    """DP train step on the lattice fast path: (TrainState, stacked
+    LatticeGraph [n_dev, B, N, k], labels [n_dev, B], weights [n_dev, B])
+    -> (TrainState, loss, probs). Same placement contract as
+    make_dp_train_step; `model` is a lattice twin (config.parse_lattice_twin)."""
+    from ..models.lattice import lattice_train_transform
+
+    def step(state: TrainState, graphs, labels, weights):
+        rng, aug_key, drop_key = jax.random.split(state.rng, 3)
+        n_dev = labels.shape[0]
+        aug_keys = jax.random.split(aug_key, n_dev)
+
+        def forward_one(params, g, key):
+            if augment:
+                g = lattice_train_transform(g, key)
+            return model.apply(
+                {"params": params}, g, train=True, rngs={"dropout": drop_key}
+            )
+
+        def loss_fn(params):
+            logits = jax.vmap(forward_one, in_axes=(None, 0, 0))(
+                params, graphs, aug_keys
+            )  # [n_dev, B, C]
+            flat_logits = logits.reshape(-1, logits.shape[-1])
+            loss = loss_fcn(flat_logits, labels.reshape(-1), weights.reshape(-1))
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(
+            params=new_params, opt_state=new_opt, rng=rng, step=state.step + 1
+        )
+        return new_state, loss, jax.nn.softmax(logits)
+
+    donate = () if jax.default_backend() == "cpu" else (0,)
+    return jax.jit(step, donate_argnums=donate)
+
+
 def place_state(state: TrainState, mesh: Mesh) -> TrainState:
     """Replicate training state across the mesh."""
     rep = replicated(mesh)

@@ -113,7 +113,7 @@ def test_http_server_batches_concurrent_requests(tmp_path):
     slides = [_slide(48, 10 + i) for i in range(6)]
     expected = pred.predict_many(slides)  # also pre-compiles the program
 
-    server = BatchingServer(pred, max_batch=6, max_wait_ms=500.0)
+    server = BatchingServer(pred, max_batch=6, max_wait_ms=2000.0)
     server.start()
     try:
         with urllib.request.urlopen(

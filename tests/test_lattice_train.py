@@ -273,3 +273,26 @@ def test_irregular_slide_detected():
     g = from_arrays(feat, np.array([0, 0, 1]), np.array([1, 2, 0]),
                     n_node_types=6)
     assert slide_regular_k(g) is None
+
+
+def test_lattice_trainer_resume(tmp_path):
+    """Resume on the lattice path restores params + optimizer + PRNG and
+    continues at the checkpointed epoch."""
+    train_list, normal_list = make_regular_cohort(tmp_path)
+    ckpt = str(tmp_path / "ckpt_lat_resume")
+    cfg = loads_config(CFG_TMPL.format(train=train_list, normal=normal_list,
+                                       ckpt=ckpt, gnn="HEAT2", epochs=3))
+    t1 = GNNTrainer(cfg, seed=0)
+    assert t1._lattice
+    t1.train(log_every=0)
+    assert t1.checkpoint_manager.version == 3
+
+    cfg2 = loads_config(CFG_TMPL.format(train=train_list, normal=normal_list,
+                                        ckpt=ckpt, gnn="HEAT2", epochs=5))
+    t2 = GNNTrainer(cfg2, seed=0)
+    assert t2._lattice
+    t2.train(log_every=0)
+    assert t2.start_epoch == 3
+    assert t2.checkpoint_manager.version == 5
+    lines = (tmp_path / "ckpt_lat_resume/training_stats.json").read_text().strip().split("\n")
+    assert len(lines) == 5

@@ -79,9 +79,17 @@ def test_predict_single_and_grouped_agree(tmp_path):
 
 def test_predict_hetero_model(tmp_path):
     pred = make_predictor(tmp_path, "HEAT2")
+    assert pred.lattice_model is not None  # HEAT2 serves on the fast path
     probs = pred.predict(*_slide(50, 4))
     assert probs.shape == (2,)
     assert np.isfinite(probs).all()
+    # the lattice serving path agrees with the TypedGraph serving path
+    pred_t = SlidePredictor(pred.config, radius=RADIUS, n_node_types=6,
+                            use_lattice=False)
+    assert pred_t.lattice_model is None
+    for s in (_slide(50, 4), _slide(33, 5)):
+        np.testing.assert_allclose(pred.predict(*s), pred_t.predict(*s),
+                                   atol=2e-5)
 
 
 def test_predictor_restores_trained_weights(tmp_path):

@@ -61,8 +61,11 @@ class SlidePredictor:
         n_node_types: int = 6,
         checkpoint_path: Optional[str] = None,
         knn_impl: str = "exact",
+        use_lattice: bool = True,
     ):
         import jax
+
+        from .config import parse_lattice_twin
 
         self.config = config
         self.model, self.is_hetero = parse_gnn_model(config["GNN"])
@@ -72,17 +75,38 @@ class SlidePredictor:
         path = checkpoint_path or config["checkpoint"]["path"]
         self._load_variables(path)
 
+        # on-device construction always yields a k-regular graph, so models
+        # with a lattice twin serve on the [B, N, k] fast path (identical
+        # param tree — the checkpoint loads unchanged)
+        self.lattice_model = parse_lattice_twin(config["GNN"]) if use_lattice else None
         model, is_hetero = self.model, self.is_hetero
 
-        @jax.jit
-        def _predict(variables, feats, ntypes, mask):
-            g = build_batch_device(
-                feats, ntypes, mask, self.radius, self.n_node_types,
-                knn_impl=self.knn_impl,
-            )
-            g = g if is_hetero else to_homogeneous(g)
-            logits = model.apply(variables, g, train=False)
-            return jax.nn.softmax(logits)
+        if self.lattice_model is not None:
+            from .models.lattice import build_lattice_device
+
+            lat = self.lattice_model
+
+            @jax.jit
+            def _predict(variables, feats, ntypes, mask):
+                g = build_lattice_device(
+                    feats, ntypes, mask, self.radius, self.n_node_types,
+                    knn_impl=self.knn_impl,
+                )
+                logits = lat.apply(
+                    {"params": variables["params"]}, g, train=False
+                )
+                return jax.nn.softmax(logits)
+        else:
+
+            @jax.jit
+            def _predict(variables, feats, ntypes, mask):
+                g = build_batch_device(
+                    feats, ntypes, mask, self.radius, self.n_node_types,
+                    knn_impl=self.knn_impl,
+                )
+                g = g if is_hetero else to_homogeneous(g)
+                logits = model.apply(variables, g, train=False)
+                return jax.nn.softmax(logits)
 
         self._predict_fn = _predict
         self._lock = threading.Lock()  # device calls serialized per predictor

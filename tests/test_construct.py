@@ -203,3 +203,63 @@ def test_node_type_dir_missing_warns(tmp_path):
              "node_type_dir": str(tmp_path / "no_such_dir")},
             {"batch_size": 4}, {}, d, encoder=enc,
         )
+
+
+def test_precomputed_encoder_path(tmp_path):
+    """encoder_name 'precomputed' reads <slide>.features.npz and must not
+    try to build a CNN encoder (it used to crash in make_encoder)."""
+    from wsi_hgnn_tpu.pipeline.construct import GraphConstructor
+
+    rng = np.random.RandomState(0)
+    slide = tmp_path / "slideP"
+    np.savez(str(slide) + ".features.npz",
+             features=rng.randn(12, 16).astype(np.float32),
+             node_types=rng.randint(0, 6, 12).astype(np.int32))
+    gc = GraphConstructor(
+        {"radius": 3, "encoder_name": "precomputed", "n_node_type": 6},
+        {}, {}, slide,
+    )
+    het, homo, types = gc.construct_graph()
+    assert int(np.asarray(het.node_mask).sum()) == 12
+    assert len(types) == 12 and np.any(types)
+
+
+def test_construct_all_builds_encoder_once(tmp_path, monkeypatch):
+    """The cohort loop must init the (expensive CNN) encoder ONCE, not per
+    slide."""
+    import wsi_hgnn_tpu.pipeline.construct as C
+
+    patches = tmp_path / "patches"
+    for s in range(3):
+        _write_patch_dir_named(patches / "bag", f"slide{s}", n=4)
+
+    calls = []
+    orig = C.build_default_encoder
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(C, "build_default_encoder", counting)
+    out = tmp_path / "graphs"
+    n = C.construct_all(
+        {"radius": 3, "encoder_name": "random", "n_node_type": 6,
+         "feature_dim": 16,
+         "patch_path": str(patches) + "/", "out_dir": str(out)},
+        {"batch_size": 4}, {}, verbose=False,
+    )
+    assert n == 3
+    assert sum(calls) == 1
+
+
+def _write_patch_dir_named(root, name, n=4):
+    from PIL import Image
+
+    d = root / name
+    d.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(hash(name) % 2**31)
+    for i in range(n):
+        Image.fromarray(
+            rng.randint(0, 255, (256, 256, 3)).astype(np.uint8)
+        ).save(d / f"{i}_0.jpeg")
+    return d

@@ -46,13 +46,14 @@ def test_lattice_build_matches_typed_graph():
 
 
 @pytest.mark.parametrize("which", ["heat2", "heat4"])
-def test_lattice_model_matches_typed_graph_model(which):
+@pytest.mark.parametrize("pooling", ["mean", "sum", "max"])
+def test_lattice_model_matches_typed_graph_model(which, pooling):
     feats, ntypes, mask = data(1)
     g_t = build_batch_device(feats, ntypes, mask, R, T)
     g_l = build_lattice_device(feats, ntypes, mask, R, T)
 
     kw = dict(in_dim=D, hidden_dim=32, out_dim=3, n_layers=2, n_heads=2,
-              n_node_types=T, dropout=0.0)
+              n_node_types=T, dropout=0.0, graph_pooling_type=pooling)
     if which == "heat2":
         ref_model, lat_model = models.HEATNet2(**kw), HEATNet2Lattice(**kw)
     else:

@@ -296,3 +296,16 @@ def test_lattice_trainer_resume(tmp_path):
     assert t2.checkpoint_manager.version == 5
     lines = (tmp_path / "ckpt_lat_resume/training_stats.json").read_text().strip().split("\n")
     assert len(lines) == 5
+
+
+def test_lattice_twin_gating():
+    from wsi_hgnn_tpu.config import parse_lattice_twin
+
+    base = {"name": "HEAT2", "n_node_types": 6, "num_layers": 2, "in_dim": 8,
+            "hidden_dim": 16, "out_dim": 2, "n_heads": 2, "feat_drop": 0.0,
+            "graph_pooling_type": "sum"}
+    assert parse_lattice_twin(base) is not None
+    # unsupported pooling / models must stay on the TypedGraph path rather
+    # than silently changing semantics
+    assert parse_lattice_twin({**base, "graph_pooling_type": "att"}) is None
+    assert parse_lattice_twin({**base, "name": "HGT"}) is None

@@ -173,5 +173,43 @@ def test_http_server_rejects_malformed_body(tmp_path):
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(req, timeout=10)
         assert exc.value.code == 400
+
+        # wrong feature dim 400s at the handler (never reaches a batch,
+        # so it cannot fail concurrent well-formed requests)
+        bad = np.zeros((10, 99), np.float32)
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post_npz(server.port, bad, np.zeros(10, np.int32))
+        assert exc.value.code == 400
+        good = pred.predict(*_slide(20, 30))
+        out = _post_npz(server.port, *_slide(20, 30))
+        np.testing.assert_allclose(out["probs"], good, atol=2e-5)
     finally:
         server.stop()
+
+
+def test_homo_serving_matches_loaded_graph_semantics(tmp_path):
+    """A served homogeneous prediction must equal the forward on the
+    training-time data path (host build -> npz -> load, which adds the
+    self-loops the model was trained with)."""
+    import jax
+
+    from wsi_hgnn_tpu.data import load_graph_npz, save_graph_npz
+    from wsi_hgnn_tpu.graph.build import build_graph
+
+    pred = make_predictor(tmp_path, "GCN")
+    feats, ntypes = _slide(60, 7)
+    probs = pred.predict(feats, ntypes)
+
+    _, homo = build_graph(feats, ntypes, radius=RADIUS, n_node_types=6)
+    ne = int(np.asarray(homo.node_mask).sum())
+    ee = int(np.asarray(homo.edge_mask).sum())
+    p = str(tmp_path / "slide.npz")
+    save_graph_npz(p, np.asarray(homo.feat)[:ne],
+                   np.asarray(homo.src)[:ee], np.asarray(homo.dst)[:ee],
+                   esign=np.asarray(homo.esign)[:ee],
+                   sim=np.asarray(homo.sim)[:ee], is_hetero=False)
+    g = load_graph_npz(p)
+    logits = pred.model.apply({"params": pred.variables["params"]}, g,
+                              train=False)
+    ref = np.asarray(jax.nn.softmax(logits))[0]
+    np.testing.assert_allclose(probs, ref, atol=2e-5)

@@ -61,42 +61,41 @@ def main(batches):
         )
         reps = max(1, 256 // batch)
 
-        for name in ("baseline",):
-            @jax.jit
-            def run(pool, variables):
-                def step(carry, i):
-                    imgs = jax.lax.dynamic_index_in_dim(
-                        pool, i % POOL, keepdims=False
-                    )
-                    ty = hovernet_typing_apply(model, variables, imgs,
-                                               N_TYPES)
-                    return carry + ty.sum(), None
+        @jax.jit
+        def run(pool, variables):
+            def step(carry, i):
+                imgs = jax.lax.dynamic_index_in_dim(
+                    pool, i % POOL, keepdims=False
+                )
+                ty = hovernet_typing_apply(model, variables, imgs,
+                                           N_TYPES)
+                return carry + ty.sum(), None
 
-                s, _ = jax.lax.scan(step, jnp.int32(0), jnp.arange(reps))
-                return s
+            s, _ = jax.lax.scan(step, jnp.int32(0), jnp.arange(reps))
+            return s
 
+        t0 = time.perf_counter()
+        compiled = run.lower(pool, variables).compile()
+        s = int(np.asarray(compiled(pool, variables)))
+        try:
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            gf_patch = float(ca.get("flops", 0.0)) / (reps * batch) / 1e9
+        except Exception:
+            gf_patch = FLOPS_PER_PATCH / 1e9
+        print(f"batch {batch}: compile+first "
+              f"{time.perf_counter() - t0:.1f}s, type-sum {s}", flush=True)
+        best = 1e9
+        for _ in range(3):
             t0 = time.perf_counter()
-            compiled = run.lower(pool, variables).compile()
-            s = int(np.asarray(compiled(pool, variables)))
-            try:
-                ca = compiled.cost_analysis()
-                ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-                gf_patch = float(ca.get("flops", 0.0)) / (reps * batch) / 1e9
-            except Exception:
-                gf_patch = FLOPS_PER_PATCH / 1e9
-            print(f"batch {batch} {name}: compile+first "
-                  f"{time.perf_counter() - t0:.1f}s, type-sum {s}", flush=True)
-            best = 1e9
-            for _ in range(3):
-                t0 = time.perf_counter()
-                np.asarray(compiled(pool, variables))
-                best = min(best, time.perf_counter() - t0)
-            per_patch = best / (reps * batch) * 1e3
-            mfu = gf_patch * 1e9 / (per_patch / 1e3) / V5E_BF16_PEAK
-            print(f"batch {batch} {name}: {per_patch:.3f} ms/patch "
-                  f"({per_patch * 2048 / 1e3:.2f} s per 2048-patch slide), "
-                  f"XLA {gf_patch:.0f} GF/patch -> MFU {mfu * 100:.1f}%",
-                  flush=True)
+            np.asarray(compiled(pool, variables))
+            best = min(best, time.perf_counter() - t0)
+        per_patch = best / (reps * batch) * 1e3
+        mfu = gf_patch * 1e9 / (per_patch / 1e3) / V5E_BF16_PEAK
+        print(f"batch {batch}: {per_patch:.3f} ms/patch "
+              f"({per_patch * 2048 / 1e3:.2f} s per 2048-patch slide), "
+              f"XLA {gf_patch:.0f} GF/patch -> MFU {mfu * 100:.1f}%",
+              flush=True)
 
 
 if __name__ == "__main__":

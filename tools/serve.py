@@ -46,8 +46,11 @@ def main():
         knn_impl=args.knn_impl,
     )
     if args.warmup:
-        print(f"warmup: compiling for {args.warmup}-patch slides ...")
-        predictor.warmup(args.warmup)
+        # the batcher pads every device call to max_batch, so one warmup
+        # shape per bucket covers all group sizes
+        print(f"warmup: compiling batch {args.max_batch} x "
+              f"{args.warmup}-patch slides ...")
+        predictor.warmup(args.warmup, batch_sizes=(args.max_batch,))
     server = BatchingServer(
         predictor, host=args.host, port=args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,

@@ -194,6 +194,11 @@ def parse_lattice_twin(config_gnn: dict):
     name = config_gnn["name"]
     if name not in ("HEAT2", "HEAT4"):
         return None
+    # the lattice twins implement the mean/sum/max per-ntype readouts; any
+    # other pooling value must stay on the TypedGraph model rather than
+    # silently changing semantics
+    if config_gnn.get("graph_pooling_type", "mean") not in ("mean", "sum", "max"):
+        return None
     from .models.lattice import HEATNet2Lattice, HEATNet4Lattice
 
     cls = HEATNet2Lattice if name == "HEAT2" else HEATNet4Lattice

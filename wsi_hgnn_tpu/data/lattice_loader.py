@@ -60,6 +60,46 @@ def probe_lattice(dataset) -> Optional[Tuple[int, int]]:
     return k, bucket_size(max_n)
 
 
+def probe_lattice_and_capacities(dataset, batch_size: int,
+                                 bucket_base: int = 1024):
+    """(cap_n, cap_e, lattice_probe) in ONE dataset scan — the trainer
+    needs both data.loader.dataset_capacities and the regularity probe at
+    startup, and each loads every graph from disk; fusing them halves the
+    startup I/O. lattice_probe is (k, lattice_node_capacity) or None."""
+    k: Optional[int] = None
+    regular = True
+    max_n = max_e = 0
+    for i in range(len(dataset)):
+        g = dataset[i][0]
+        n = int(np.asarray(g.node_mask).sum())
+        e = int(np.asarray(g.edge_mask).sum())
+        max_n = max(max_n, n)
+        max_e = max(max_e, e)
+        if regular:
+            ki = slide_regular_k(g)
+            if ki is None or (k is not None and ki != k):
+                regular = False
+            else:
+                k = ki
+    probe = (k, bucket_size(max_n)) if regular and k else None
+    return (
+        bucket_size(max_n * batch_size, base=bucket_base),
+        bucket_size(max_e * batch_size, base=bucket_base),
+        probe,
+    )
+
+
+def lattice_batch_for_budget(k: int, cap_n: int, budget: int = 2 << 30,
+                             max_batch: int = 8) -> Optional[int]:
+    """Largest batch size (<= max_batch) whose one-hot destination matrix
+    [B, N*k, N] f32 fits `budget` bytes, or None when even B=1 does not —
+    the same working-set guard the trainer applies to its train batches."""
+    per = cap_n * k * cap_n * 4
+    if per > budget:
+        return None
+    return max(1, min(max_batch, int(budget // per)))
+
+
 def pack_slide(g: TypedGraph, k: int, cap_n: int):
     """One k-regular TypedGraph -> per-slide lattice buffers [cap_n, ...].
     Real edges are grouped by source (stable order within a source), so the

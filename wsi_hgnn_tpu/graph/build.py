@@ -58,7 +58,8 @@ def build_edges_device(features: jax.Array, radius: int,
     return src, dst, esign, sim, emask
 
 
-@partial(jax.jit, static_argnames=("radius", "n_node_types", "knn_impl"))
+@partial(jax.jit, static_argnames=("radius", "n_node_types", "knn_impl",
+                                   "add_self_loops"))
 def build_batch_device(
     features: jax.Array,      # [B, N, D] padded per-slide feature buffers
     node_types: jax.Array,    # [B, N] int32
@@ -66,6 +67,7 @@ def build_batch_device(
     radius: int,
     n_node_types: int = 6,
     knn_impl: str = "exact",
+    add_self_loops: bool = False,
 ) -> TypedGraph:
     """Cohort-batched slide-graph construction entirely on device.
 
@@ -74,6 +76,12 @@ def build_batch_device(
     TypedGraph assembly are one compiled program. Every slide shares the
     per-slide capacity N, so the batched graph has fixed shapes [B*N] nodes
     and [B*N*(radius-1)] edges.
+
+    `add_self_loops=True` appends one self-edge per real node (esign=1,
+    sim=1), matching what the data layer does to homogeneous graphs at load
+    (typed_graph.from_arrays / reference data.py:120-121) — REQUIRED when a
+    homogeneous model trained on loaded graphs consumes this graph, or its
+    degrees/aggregates miss the self contribution.
     """
     b, n, d = features.shape
     k = radius - 1
@@ -85,6 +93,17 @@ def build_batch_device(
     offsets = (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
     src = (src + offsets).reshape(-1)
     dst = (dst + offsets).reshape(-1)
+    esign = esign.reshape(-1)
+    sim = sim.reshape(-1)
+    emask = emask.reshape(-1)
+
+    if add_self_loops:
+        loop = jnp.arange(b * n, dtype=jnp.int32)
+        src = jnp.concatenate([src, loop])
+        dst = jnp.concatenate([dst, loop])
+        esign = jnp.concatenate([esign, jnp.ones(b * n, esign.dtype)])
+        sim = jnp.concatenate([sim, jnp.ones(b * n, sim.dtype)])
+        emask = jnp.concatenate([emask, mask.reshape(-1)])
 
     return TypedGraph(
         feat=features.reshape(b * n, d),
@@ -93,9 +112,9 @@ def build_batch_device(
         node_mask=mask.reshape(-1),
         src=src,
         dst=dst,
-        esign=esign.reshape(-1),
-        sim=sim.reshape(-1),
-        edge_mask=emask.reshape(-1),
+        esign=esign,
+        sim=sim,
+        edge_mask=emask,
         n_graphs=b,
         n_node_types=n_node_types,
         n_edge_types=2,

@@ -25,16 +25,20 @@ __all__ = [
 ]
 
 
-def _load_hover_variables(hovernet_config: Dict, nr_types: int):
+def _load_hover_variables(hovernet_config: Dict, nr_types: int,
+                          with_fc1: bool = True):
     """HoVer-Net init + optional torch checkpoint, bf16 on TPU (the 4 GB
     f32 fc1 kernel crashes this environment's AOT compiler; bf16 is the
-    production inference precision anyway — PERF_NOTES.md)."""
+    production inference precision anyway — PERF_NOTES.md). with_fc1=False
+    skips the fc1 feature head entirely (typing-only use never runs it,
+    and its kernel alone is 4.3 GB f32 at init)."""
     import os
 
     import jax
     import jax.numpy as jnp
 
-    model = HoVerNet(nr_types=nr_types, mode=hovernet_config.get("mode", "fast"))
+    model = HoVerNet(nr_types=nr_types, mode=hovernet_config.get("mode", "fast"),
+                     with_fc1=with_fc1)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3), jnp.float32)
     )
@@ -65,7 +69,9 @@ def make_hover_typing(hovernet_config: Dict, nr_types: int = 6
     import jax
     import jax.numpy as jnp
 
-    model, variables, in_dtype = _load_hover_variables(hovernet_config, nr_types)
+    model, variables, in_dtype = _load_hover_variables(
+        hovernet_config, nr_types, with_fc1=False
+    )
     typed = jax.jit(
         lambda imgs: hovernet_typing_apply(model, variables, imgs, nr_types)
     )

@@ -214,6 +214,10 @@ class HoVerNet(nn.Module):
     nr_types: Optional[int] = 6
     mode: str = "fast"
     feat_dim: int = 1024
+    # the custom fc1 bottleneck holds a [32*32*1024, feat_dim] kernel
+    # (4.3 GB f32); typing-only uses (encoder + tp decoder) never touch it,
+    # so with_fc1=False skips allocating it entirely
+    with_fc1: bool = True
 
     def setup(self):
         assert self.mode in ("original", "fast")
@@ -230,7 +234,8 @@ class HoVerNet(nn.Module):
             ch = 2 if name != "tp" else self.nr_types
             setattr(self, f"decoder_{name}", DecoderBranch(ch, ksize))
         self.branches = branches
-        self.fc1 = ChunkedDense(self.feat_dim)
+        if self.with_fc1:
+            self.fc1 = ChunkedDense(self.feat_dim)
 
     def encode(self, imgs: jax.Array, train: bool = False):
         """Stem + pre-act ResNet50 + bottleneck conv -> cropped skips
@@ -262,7 +267,8 @@ class HoVerNet(nn.Module):
         d = self.encode(imgs, train)
         out = {name: self.decode_branch(name, d, train)
                for name in self.branches}
-        return out, self.feature_head(d[3])
+        feats = self.feature_head(d[3]) if self.with_fc1 else None
+        return out, feats
 
 
 def node_types_from_tp(tp_map: np.ndarray, nr_types: int = 6) -> np.ndarray:

@@ -296,12 +296,26 @@ class HEATLayerLattice(nn.Module):
         return jnp.where(keep, mixed, flat_h).reshape(b, n, self.out_dim)
 
 
-def _pool_mean_by_type(g: LatticeGraph, h: jax.Array, t: int):
-    """[B, T, D] per-(graph, type) mean readout via one-hot contraction."""
+_NEG_INF = -1e30
+
+
+def _pool_by_type(g: LatticeGraph, h: jax.Array, t: int, kind: str = "mean"):
+    """[B, T, D] per-(graph, type) readout — the lattice form of
+    layers.pool_all_types (mean/sum via one-hot contraction; max via a
+    masked reduce; empty types read out 0, matching ops.readout_*_all_types)."""
     ty_oh = jax.nn.one_hot(g.ntypes, t, dtype=h.dtype) * g.mask[..., None]
-    sums = jnp.einsum("bnt,bnd->btd", ty_oh, h)
-    cnts = ty_oh.sum(1)
-    return sums / jnp.maximum(cnts, 1.0)[..., None]
+    if kind in ("mean", "sum"):
+        sums = jnp.einsum("bnt,bnd->btd", ty_oh, h)
+        if kind == "sum":
+            return sums
+        cnts = ty_oh.sum(1)
+        return sums / jnp.maximum(cnts, 1.0)[..., None]
+    if kind == "max":
+        vals = jnp.where((ty_oh > 0)[..., None], h[:, :, None, :], _NEG_INF)
+        out = vals.max(1)
+        return jnp.where(out <= _NEG_INF / 2, 0.0, out)
+    # 'att' with a per-ntype readout is a TypeError in the reference too
+    raise NotImplementedError(f"per-ntype pooling {kind!r}")
 
 
 class HEATNet4Lattice(nn.Module):
@@ -342,7 +356,7 @@ class HEATNet4Lattice(nn.Module):
                 name=f"gcs_{i}"
             )(g, h, dst_denom, train, a_mat=a_mat, dst_sort=dst_sort)
 
-        pooled = _pool_mean_by_type(g, h, t)  # [B, T, hidden]
+        pooled = _pool_by_type(g, h, t, self.graph_pooling_type)  # [B, T, hidden]
         out_h = TypedHeads(t, self.embed_dim, name="linears_prediction")(pooled)
         out_h = out_h * pres[None, :, None]
 
@@ -393,6 +407,6 @@ class HEATNet2Lattice(nn.Module):
                 name=f"gcs_{i}"
             )(g, h, dst_denom, train, a_mat=a_mat, dst_sort=dst_sort)
 
-        pooled = _pool_mean_by_type(g, h, t)
+        pooled = _pool_by_type(g, h, t, self.graph_pooling_type)
         heads = TypedHeads(t, self.out_dim, name="linears_prediction")(pooled)
         return (heads * pres[None, :, None]).sum(1)

@@ -1,9 +1,10 @@
 """Data-parallel training step over a device mesh.
 
 The per-device unit is one bucketed batch of slide graphs (the same
-TypedGraph the single-chip trainer consumes); a step takes the stacked
-[n_dev, ...] pytree, runs the full train step per shard via vmap, and lets
-XLA insert the gradient all-reduce over ICI (params/opt state replicated).
+TypedGraph the single-chip trainer consumes — or its [B, N, k] lattice
+form); a step takes the stacked [n_dev, ...] pytree, runs the full train
+step per shard via vmap, and lets XLA insert the gradient all-reduce over
+ICI (params/opt state replicated).
 """
 from __future__ import annotations
 
@@ -18,26 +19,17 @@ from ..train.trainer import TrainState
 from .mesh import data_sharded, replicated
 
 
-def make_dp_train_step(
-    model,
-    tx,
-    loss_fcn: Callable,
-    is_hetero: bool,
-    mesh: Mesh,
-    augment: bool = True,
-) -> Callable:
-    """Compiled DP train step: (TrainState, stacked TypedGraph [n_dev, ...],
-    labels [n_dev, B], weights [n_dev, B]) -> (TrainState, loss, probs)."""
+def _make_dp_step(model, tx, loss_fcn: Callable, prepare_one: Callable):
+    """Shared DP step skeleton: `prepare_one(graph, key)` is the only part
+    that differs between the TypedGraph and lattice paths."""
 
-    def step(state: TrainState, graphs: TypedGraph, labels, weights):
+    def step(state: TrainState, graphs, labels, weights):
         rng, aug_key, drop_key = jax.random.split(state.rng, 3)
         n_dev = labels.shape[0]
         aug_keys = jax.random.split(aug_key, n_dev)
 
-        def forward_one(params, g: TypedGraph, key):
-            g = g if is_hetero else to_homogeneous(g)
-            if augment:
-                g = transforms.train_transform(g, key)
+        def forward_one(params, g, key):
+            g = prepare_one(g, key)
             return model.apply(
                 {"params": params}, g, train=True, rngs={"dropout": drop_key}
             )
@@ -70,6 +62,27 @@ def make_dp_train_step(
     return jax.jit(step, donate_argnums=donate)
 
 
+def make_dp_train_step(
+    model,
+    tx,
+    loss_fcn: Callable,
+    is_hetero: bool,
+    mesh: Mesh,
+    augment: bool = True,
+) -> Callable:
+    """Compiled DP train step: (TrainState, stacked TypedGraph [n_dev, ...],
+    labels [n_dev, B], weights [n_dev, B]) -> (TrainState, loss, probs)."""
+    del mesh  # placement carries the sharding; kept for API compatibility
+
+    def prepare_one(g: TypedGraph, key):
+        g = g if is_hetero else to_homogeneous(g)
+        if augment:
+            g = transforms.train_transform(g, key)
+        return g
+
+    return _make_dp_step(model, tx, loss_fcn, prepare_one)
+
+
 def make_dp_lattice_train_step(
     model,
     tx,
@@ -83,38 +96,12 @@ def make_dp_lattice_train_step(
     make_dp_train_step; `model` is a lattice twin (config.parse_lattice_twin)."""
     from ..models.lattice import lattice_train_transform
 
-    def step(state: TrainState, graphs, labels, weights):
-        rng, aug_key, drop_key = jax.random.split(state.rng, 3)
-        n_dev = labels.shape[0]
-        aug_keys = jax.random.split(aug_key, n_dev)
+    del mesh
 
-        def forward_one(params, g, key):
-            if augment:
-                g = lattice_train_transform(g, key)
-            return model.apply(
-                {"params": params}, g, train=True, rngs={"dropout": drop_key}
-            )
+    def prepare_one(g, key):
+        return lattice_train_transform(g, key) if augment else g
 
-        def loss_fn(params):
-            logits = jax.vmap(forward_one, in_axes=(None, 0, 0))(
-                params, graphs, aug_keys
-            )  # [n_dev, B, C]
-            flat_logits = logits.reshape(-1, logits.shape[-1])
-            loss = loss_fcn(flat_logits, labels.reshape(-1), weights.reshape(-1))
-            return loss, logits
-
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-        new_state = state.replace(
-            params=new_params, opt_state=new_opt, rng=rng, step=state.step + 1
-        )
-        return new_state, loss, jax.nn.softmax(logits)
-
-    donate = () if jax.default_backend() == "cpu" else (0,)
-    return jax.jit(step, donate_argnums=donate)
+    return _make_dp_step(model, tx, loss_fcn, prepare_one)
 
 
 def place_state(state: TrainState, mesh: Mesh) -> TrainState:

@@ -62,6 +62,27 @@ def make_encoder(name: str, config: Dict, hovernet_config: Dict, kimianet_config
     raise NotImplementedError(f"encoder {name!r}")
 
 
+def build_default_encoder(config: Dict, hovernet_config: Dict,
+                          kimianet_config: Dict) -> Optional[EncoderFn]:
+    """The encoder a GraphConstructor would build for this config — made
+    once per construction RUN, not per slide (a CNN encoder init is heavy:
+    HoVer-Net variables + jit setup). 'precomputed' needs no encoder.
+
+    The reference constructor runs HoVer-Net typing whenever no
+    node_type_dir is given, whatever the feature encoder
+    (graph_constructor.py:239-246); `inline_typing: false` opts out."""
+    enc_name = config["encoder_name"]
+    if enc_name == "precomputed":
+        return None
+    want_typing = (
+        enc_name in ("kimia", "efficientnet-b4")
+        and config.get("node_type_dir") is None
+        and bool(config.get("inline_typing", True))
+    )
+    return make_encoder(enc_name, config, hovernet_config, kimianet_config,
+                        with_typing=want_typing)
+
+
 class GraphConstructor:
     """Reference constructor contract: (graph_config, hovernet_config,
     kimianet_config, wsi_patch_dir) -> .construct_graph() ->
@@ -76,20 +97,12 @@ class GraphConstructor:
 
         enc_name = config["encoder_name"]
         node_type_dir = config.get("node_type_dir")
-        # the reference constructor runs HoVer-Net typing whenever no
-        # node_type_dir is given, whatever the feature encoder
-        # (graph_constructor.py:239-246); both CNNs share one patch stream.
-        # `inline_typing: false` opts out (e.g. weightless smoke runs).
-        want_typing = (
-            encoder is None
-            and enc_name in ("kimia", "efficientnet-b4")
-            and node_type_dir is None
-            and bool(config.get("inline_typing", True))
-        )
-        encoder = encoder or make_encoder(
-            enc_name, config, hovernet_config, kimianet_config,
-            with_typing=want_typing,
-        )
+        if encoder is None:
+            # both CNNs share one patch stream when typing is inlined —
+            # see build_default_encoder (None for 'precomputed')
+            encoder = build_default_encoder(
+                config, hovernet_config, kimianet_config
+            )
 
         if enc_name == "precomputed":
             z = np.load(str(wsi_data) + ".features.npz")
@@ -157,6 +170,13 @@ def construct_all(graph_config: Dict, hovernet_config: Dict, kimianet_config: Di
     (out_dir / "node_types").mkdir(parents=True, exist_ok=True)
 
     patch_dirs = sorted(_glob.glob(str(graph_config["patch_path"]) + "*/*"))
+    if encoder is None:
+        # ONE encoder for the whole cohort: CNN variable init + jit setup
+        # happen once, and every slide reuses the same compiled programs
+        with GLOBAL_TIMER.stage("construct/encoder_init"):
+            encoder = build_default_encoder(
+                graph_config, hovernet_config, kimianet_config
+            )
     written = 0
     for i, wsi_input in enumerate(patch_dirs):
         if verbose:

@@ -69,6 +69,7 @@ class SlidePredictor:
 
         self.config = config
         self.model, self.is_hetero = parse_gnn_model(config["GNN"])
+        self.in_dim = int(config["GNN"]["in_dim"])
         self.radius = int(radius)
         self.n_node_types = int(n_node_types)
         self.knn_impl = knn_impl
@@ -100,9 +101,12 @@ class SlidePredictor:
 
             @jax.jit
             def _predict(variables, feats, ntypes, mask):
+                # homogeneous models train on loaded graphs that carry
+                # explicit self-loops (data layer contract, reference
+                # data.py:120-121) — the served graph must match
                 g = build_batch_device(
                     feats, ntypes, mask, self.radius, self.n_node_types,
-                    knn_impl=self.knn_impl,
+                    knn_impl=self.knn_impl, add_self_loops=not is_hetero,
                 )
                 g = g if is_hetero else to_homogeneous(g)
                 logits = model.apply(variables, g, train=False)
@@ -207,10 +211,16 @@ class BatchingServer:
         port: int = 0,
         max_batch: int = 8,
         max_wait_ms: float = 5.0,
+        pad_batches: bool = True,
     ):
         self.predictor = predictor
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
+        # pad every device call to max_batch (repeats of the first slide,
+        # extra outputs dropped): ONE compiled program per node bucket
+        # instead of one per (group size, bucket) — on remote-compile
+        # platforms a cold compile stalls every waiting client
+        self.pad_batches = pad_batches
         self.queue: "Queue[_Request]" = Queue()
         self.stats = {
             "requests": 0, "batches": 0, "errors": 0,
@@ -260,6 +270,22 @@ class BatchingServer:
                 except Exception as e:
                     self._reply(400, {"error": f"bad request: {e}"})
                     return
+                # validate per request so one bad payload 400s alone
+                # instead of failing its whole micro-batch
+                if feats.ndim != 2 or feats.shape[0] == 0:
+                    self._reply(400, {"error": "features must be [N, D]"})
+                    return
+                if feats.shape[1] != server.predictor.in_dim:
+                    self._reply(400, {
+                        "error": f"feature dim {feats.shape[1]} != model "
+                                 f"in_dim {server.predictor.in_dim}"})
+                    return
+                if ntypes is not None and (
+                    ntypes.ndim != 1 or len(ntypes) != len(feats)
+                ):
+                    self._reply(400, {
+                        "error": "node_types must be [N] matching features"})
+                    return
                 req = _Request(feats, ntypes)
                 server.queue.put(req)
                 req.event.wait()
@@ -302,9 +328,10 @@ class BatchingServer:
                 except Empty:
                     break
             try:
-                probs = self.predictor.predict_many(
-                    [(r.features, r.node_types) for r in group]
-                )
+                slides = [(r.features, r.node_types) for r in group]
+                if self.pad_batches and len(slides) < self.max_batch:
+                    slides += [slides[0]] * (self.max_batch - len(slides))
+                probs = self.predictor.predict_many(slides)[: len(group)]
                 for r, p in zip(group, probs):
                     r.probs = p
             except Exception as e:  # propagate to every waiter

@@ -32,6 +32,38 @@ def make_eval_fn(model, is_hetero: bool):
     return fwd
 
 
+def make_lattice_eval_fn(twin):
+    """Compiled eval forward on the lattice fast path (twin =
+    config.parse_lattice_twin of the GNN section; same param tree)."""
+
+    @jax.jit
+    def fwd(variables, graph):
+        return jax.nn.softmax(twin.apply(variables, graph, train=False))
+
+    return fwd
+
+
+def evaluate_lattice(twin, params, loader, average: str, fwd=None
+                     ) -> Dict[str, float]:
+    """Run a LatticeLoader through the lattice twin; reference metric pack
+    (shared by the trainer's per-epoch evals and HomoGraphEvaluator)."""
+    if fwd is None:
+        fwd = make_lattice_eval_fn(twin)
+    probs, labels = [], []
+    for gb, lb, w in loader:
+        p = np.asarray(fwd({"params": params}, gb))
+        real = w > 0
+        probs.append(p[real])
+        labels.append(lb[real])
+    prob = np.concatenate(probs)
+    label = np.concatenate(labels)
+    precision, recall, f1, auc = metrics(prob, label, average=average)
+    return {
+        "acc": accuracy(prob, label), "f1": f1, "precision": precision,
+        "recall": recall, "auc": auc, "prob": prob, "label": label,
+    }
+
+
 def make_eval_loader(dataset, batch_size: int = 8) -> GraphLoader:
     """Build a fixed-capacity eval loader; does the one-off
     `dataset_capacities` scan (loads every graph), so callers evaluating the
@@ -137,14 +169,23 @@ class HomoGraphEvaluator:
             ).lower()
             if self.is_hetero and pref not in ("off", "false", "0"):
                 from ..config import parse_lattice_twin
-                from ..data.lattice_loader import LatticeLoader, probe_lattice
+                from ..data.lattice_loader import (
+                    LatticeLoader,
+                    lattice_batch_for_budget,
+                    probe_lattice,
+                )
 
                 twin = parse_lattice_twin(self.config_gnn)
                 if twin is not None:
                     probe = probe_lattice(self.test_data)
-                    if probe is not None:
+                    budget = self.config.get("train", {}).get(
+                        "lattice_mem_budget", 2 << 30
+                    )
+                    bs = (lattice_batch_for_budget(probe[0], probe[1], budget)
+                          if probe is not None else None)
+                    if bs is not None:
                         entry = (twin, LatticeLoader(
-                            self.test_data, 8, probe[0], probe[1],
+                            self.test_data, bs, probe[0], probe[1],
                             shuffle=False,
                         ))
             self._lat_cache[key] = entry
@@ -152,26 +193,11 @@ class HomoGraphEvaluator:
 
     def _eval_lattice(self, twin, loader):
         if self._lat_fwd is None:
-            @jax.jit
-            def fwd(variables, g):
-                return jax.nn.softmax(twin.apply(variables, g, train=False))
-
-            self._lat_fwd = fwd
-        probs, labels = [], []
-        for gb, lb, w in loader:
-            p = np.asarray(
-                self._lat_fwd({"params": self.variables["params"]}, gb)
-            )
-            real = w > 0
-            probs.append(p[real])
-            labels.append(lb[real])
-        prob = np.concatenate(probs)
-        label = np.concatenate(labels)
-        precision, recall, f1, auc = metrics(prob, label, average=self.average)
-        return {
-            "acc": accuracy(prob, label), "f1": f1, "precision": precision,
-            "recall": recall, "auc": auc, "prob": prob, "label": label,
-        }
+            self._lat_fwd = make_lattice_eval_fn(twin)
+        return evaluate_lattice(
+            twin, self.variables["params"], loader, self.average,
+            fwd=self._lat_fwd,
+        )
 
     def eval(self):
         # cache the compiled forward and the per-dataset loader so repeated

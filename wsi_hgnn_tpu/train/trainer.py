@@ -29,7 +29,7 @@ from ..data.datasets import (
     TCGACancerStageDataset,
     TCGACancerTypingDataset,
 )
-from ..data.loader import GraphLoader, dataset_capacities
+from ..data.loader import GraphLoader
 from ..graph import TypedGraph, to_homogeneous, transforms
 from .checkpoint import CheckpointManager
 from .evaluator import (
@@ -93,7 +93,13 @@ class GNNTrainer:
             self.config_data, train_path, "train"
         )
 
-        cap_n, cap_e = dataset_capacities(self.train_data, self.batch_size)
+        from ..data.lattice_loader import probe_lattice_and_capacities
+
+        # one scan yields the batch capacities AND the k-regularity probe
+        # (each would otherwise load every graph from disk separately)
+        cap_n, cap_e, lat_probe = probe_lattice_and_capacities(
+            self.train_data, self.batch_size
+        )
 
         # graph-context parallelism: when a batch's edge store exceeds the
         # threshold and >1 device is available, shard edges over the mesh
@@ -123,9 +129,9 @@ class GNNTrainer:
 
             self._lat_model = parse_lattice_twin(self.config_gnn)
         if self._lat_model is not None:
-            from ..data.lattice_loader import LatticeLoader, probe_lattice
+            from ..data.lattice_loader import LatticeLoader
 
-            probe = probe_lattice(self.train_data)
+            probe = lat_probe
             # the one-hot destination matrix is the lattice path's working
             # set: [B, N*k, N] f32; stay on the segment path when it would
             # not comfortably fit (2 GB default budget)
@@ -396,41 +402,35 @@ class GNNTrainer:
     def _evaluate_split_lattice(self, split_path: str):
         """Per-epoch eval on the lattice path (falls back to the TypedGraph
         evaluator — same params, same metrics — when a split is irregular)."""
-        from ..data.lattice_loader import LatticeLoader, probe_lattice
+        from ..data.lattice_loader import (
+            LatticeLoader,
+            lattice_batch_for_budget,
+            probe_lattice,
+        )
 
         if split_path not in self._lat_eval_splits:
             data, average = select_dataset(self.config_data, split_path, "eval")
             probe = probe_lattice(data)
-            self._lat_eval_splits[split_path] = (
-                None if probe is None
-                else (average, LatticeLoader(data, 8, probe[0], probe[1],
-                                             shuffle=False))
-            )
+            entry = None
+            if probe is not None:
+                budget = self.config_train.get("lattice_mem_budget", 2 << 30)
+                bs = lattice_batch_for_budget(probe[0], probe[1], budget)
+                if bs is not None:
+                    entry = (average, LatticeLoader(
+                        data, bs, probe[0], probe[1], shuffle=False))
+            self._lat_eval_splits[split_path] = entry
         entry = self._lat_eval_splits[split_path]
         if entry is None:
             return None
         average, loader = entry
+        from .evaluator import evaluate_lattice, make_lattice_eval_fn
+
         if self._lat_eval_fwd is None:
-            model = self._lat_model
-
-            @jax.jit
-            def fwd(variables, g):
-                return jax.nn.softmax(model.apply(variables, g, train=False))
-
-            self._lat_eval_fwd = fwd
-        probs, labels = [], []
-        for gb, lb, w in loader:
-            p = np.asarray(self._lat_eval_fwd({"params": self.state.params}, gb))
-            real = w > 0
-            probs.append(p[real])
-            labels.append(lb[real])
-        prob = np.concatenate(probs)
-        label = np.concatenate(labels)
-        precision, recall, f1, auc = metrics(prob, label, average=average)
-        return {
-            "acc": accuracy(prob, label), "f1": f1, "precision": precision,
-            "recall": recall, "auc": auc, "prob": prob, "label": label,
-        }
+            self._lat_eval_fwd = make_lattice_eval_fn(self._lat_model)
+        return evaluate_lattice(
+            self._lat_model, self.state.params, loader, average,
+            fwd=self._lat_eval_fwd,
+        )
 
     def evaluate_split(self, split_path: str) -> Dict[str, float]:
         if self._lattice:

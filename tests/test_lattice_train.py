@@ -309,3 +309,14 @@ def test_lattice_twin_gating():
     # than silently changing semantics
     assert parse_lattice_twin({**base, "graph_pooling_type": "att"}) is None
     assert parse_lattice_twin({**base, "name": "HGT"}) is None
+
+
+def test_lattice_batch_for_budget():
+    from wsi_hgnn_tpu.data.lattice_loader import lattice_batch_for_budget
+
+    # per batch element: 256*8 * 256 * 4B = 2 MiB -> 11 MiB budget fits 5
+    assert lattice_batch_for_budget(8, 256, budget=11 << 20) == 5
+    # plenty of budget clamps at max_batch
+    assert lattice_batch_for_budget(8, 256, budget=2 << 30) == 8
+    # one slide alone over budget -> None (fall back to the typed path)
+    assert lattice_batch_for_budget(8, 8192, budget=100 << 20) is None

@@ -105,6 +105,31 @@ def test_hovernet_shapes_fast():
     assert feats.shape == (1, 1024)
 
 
+def test_hover_typing_ckpt_with_fc1_is_filtered(tmp_path):
+    """Checkpoints saved from the reference's own net carry fc1 weights
+    (net_desc.py:38 adds fc1 as a plain nn.Linear). The typing-only loader
+    (with_fc1=False) must drop them before conversion instead of crashing
+    merge_into — and must not materialise the 4 GB fc1 kernel."""
+    torch = pytest.importorskip("torch")
+    from wsi_hgnn_tpu.models.featurizers import _load_hover_variables
+
+    # shapes are irrelevant: fc1.* must be filtered out before conversion
+    sd = {
+        "fc1.weight": torch.zeros(4, 8),
+        "fc1.bias": torch.zeros(4),
+        "conv0.weight": torch.zeros(64, 3, 7, 7),
+    }
+    ckpt = tmp_path / "hover_with_fc1.pth"
+    torch.save({"desc": sd}, ckpt)
+    model, variables, _ = _load_hover_variables(
+        {"hovernet_model_path": str(ckpt)}, nr_types=6, with_fc1=False
+    )
+    assert "fc1" not in variables["params"]
+    # the conv0 weight DID merge (converted, transposed to HWIO)
+    assert np.asarray(variables["params"]["conv0"]["kernel"]).shape == (
+        7, 7, 3, 64)
+
+
 def test_node_types_from_tp():
     tp = np.zeros((2, 4, 4, 6), np.float32)
     # patch 0: all background (class 0 highest everywhere)

@@ -309,6 +309,11 @@ def test_lattice_twin_gating():
     # than silently changing semantics
     assert parse_lattice_twin({**base, "graph_pooling_type": "att"}) is None
     assert parse_lattice_twin({**base, "name": "HGT"}) is None
+    # missing pooling key defaults to 'mean' (the typed HEAT constructors'
+    # flax default) instead of raising
+    no_pool = {k: v for k, v in base.items() if k != "graph_pooling_type"}
+    twin = parse_lattice_twin(no_pool)
+    assert twin is not None and twin.graph_pooling_type == "mean"
 
 
 def test_lattice_batch_for_budget():

@@ -180,6 +180,17 @@ def test_http_server_rejects_malformed_body(tmp_path):
         with pytest.raises(urllib.error.HTTPError) as exc:
             _post_npz(server.port, bad, np.zeros(10, np.int32))
         assert exc.value.code == 400
+
+        # out-of-range node-type ids would silently clamp on device
+        # (JAX gather semantics) — must 400, not return wrong answers
+        feats, _ = _slide(10, 31)
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post_npz(server.port, feats,
+                      np.full(10, pred.n_node_types, np.int32))
+        assert exc.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post_npz(server.port, feats, np.full(10, -1, np.int32))
+        assert exc.value.code == 400
         good = pred.predict(*_slide(20, 30))
         out = _post_npz(server.port, *_slide(20, 30))
         np.testing.assert_allclose(out["probs"], good, atol=2e-5)

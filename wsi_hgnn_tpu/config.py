@@ -196,8 +196,10 @@ def parse_lattice_twin(config_gnn: dict):
         return None
     # the lattice twins implement the mean/sum/max per-ntype readouts; any
     # other pooling value must stay on the TypedGraph model rather than
-    # silently changing semantics
-    if config_gnn.get("graph_pooling_type", "mean") not in ("mean", "sum", "max"):
+    # silently changing semantics (missing key defaults to 'mean' exactly
+    # as the typed HEAT models' constructors do)
+    pooling = config_gnn.get("graph_pooling_type", "mean")
+    if pooling not in ("mean", "sum", "max"):
         return None
     from .models.lattice import HEATNet2Lattice, HEATNet4Lattice
 
@@ -210,7 +212,7 @@ def parse_lattice_twin(config_gnn: dict):
         n_heads=config_gnn["n_heads"],
         n_node_types=config_gnn["n_node_types"],
         dropout=config_gnn["feat_drop"],
-        graph_pooling_type=config_gnn["graph_pooling_type"],
+        graph_pooling_type=pooling,
     )
 
 

@@ -45,6 +45,12 @@ def _load_hover_variables(hovernet_config: Dict, nr_types: int,
     ckpt = hovernet_config.get("hovernet_model_path")
     if ckpt and os.path.exists(str(ckpt)):
         sd = convert.load_torch_state_dict(ckpt)
+        if not with_fc1:
+            # checkpoints saved from the reference's own net carry fc1
+            # (it adds fc1 as a plain nn.Linear, net_desc.py:38); the
+            # typing-only module has no fc1 to merge it into, and the
+            # conversion alone would materialise the 4 GB kernel
+            sd = {k: v for k, v in sd.items() if not k.startswith("fc1.")}
         variables = convert.merge_into(
             variables, convert.hovernet_torch_to_flax(sd, nr_types)
         )

@@ -170,13 +170,20 @@ def construct_all(graph_config: Dict, hovernet_config: Dict, kimianet_config: Di
     (out_dir / "node_types").mkdir(parents=True, exist_ok=True)
 
     patch_dirs = sorted(_glob.glob(str(graph_config["patch_path"]) + "*/*"))
-    if encoder is None:
+
+    def get_encoder():
         # ONE encoder for the whole cohort: CNN variable init + jit setup
-        # happen once, and every slide reuses the same compiled programs
-        with GLOBAL_TIMER.stage("construct/encoder_init"):
-            encoder = build_default_encoder(
-                graph_config, hovernet_config, kimianet_config
-            )
+        # happen once, every slide reuses the same compiled programs — but
+        # built lazily so idempotent re-runs whose outputs all exist skip
+        # the (minutes-scale) CNN init entirely
+        nonlocal encoder
+        if encoder is None:
+            with GLOBAL_TIMER.stage("construct/encoder_init"):
+                encoder = build_default_encoder(
+                    graph_config, hovernet_config, kimianet_config
+                )
+        return encoder
+
     written = 0
     for i, wsi_input in enumerate(patch_dirs):
         if verbose:
@@ -190,7 +197,7 @@ def construct_all(graph_config: Dict, hovernet_config: Dict, kimianet_config: Di
             with GLOBAL_TIMER.stage("construct/featurize"):
                 gc = GraphConstructor(
                     graph_config, hovernet_config, kimianet_config, wsi_input,
-                    encoder=encoder,
+                    encoder=get_encoder(),
                 )
             with GLOBAL_TIMER.stage("construct/graph"):
                 het, homo, node_type = gc.construct_graph()

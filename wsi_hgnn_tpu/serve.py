@@ -286,6 +286,16 @@ class BatchingServer:
                     self._reply(400, {
                         "error": "node_types must be [N] matching features"})
                     return
+                if ntypes is not None and len(ntypes) and (
+                    int(ntypes.min()) < 0
+                    or int(ntypes.max()) >= server.predictor.n_node_types
+                ):
+                    # out-of-range ids would silently clamp on device
+                    # (JAX gather semantics) and corrupt the prediction
+                    self._reply(400, {
+                        "error": f"node_types must be in [0, "
+                                 f"{server.predictor.n_node_types})"})
+                    return
                 req = _Request(feats, ntypes)
                 server.queue.put(req)
                 req.event.wait()

@@ -79,6 +79,72 @@ def test_lattice_param_tree_is_interchangeable():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+def test_typed_linear_ragged_matches_onehot():
+    """ops.typed_linear_ragged (type-sorted grouped GEMM) == typed_linear
+    values AND gradients, including with a precomputed shared TypeSort."""
+    from wsi_hgnn_tpu.graph import ops
+
+    rng = np.random.RandomState(3)
+    M, Din, H = 97, 24, 16  # deliberately unaligned row count
+    x = jnp.asarray(rng.randn(M, Din).astype(np.float32))
+    ty = jnp.asarray(rng.randint(0, T, M).astype(np.int32))
+    w = jnp.asarray(rng.randn(T, Din, H).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(T, H).astype(np.float32))
+
+    ref = np.asarray(ops.typed_linear(x, ty, w, b))
+    out = np.asarray(ops.typed_linear_ragged(x, ty, w, b))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    tsort = ops.make_type_sort(ty, T)
+    out2 = np.asarray(ops.typed_linear_ragged(x, ty, w, b, tsort))
+    np.testing.assert_allclose(out2, ref, rtol=1e-5, atol=1e-5)
+
+    # gradient equality wrt every input (the backward runs permutation
+    # gathers + ragged transposes, never a scatter)
+    cot = jnp.asarray(rng.randn(M, H).astype(np.float32))
+
+    def loss(fn):
+        return lambda x, w, b: (fn(x, ty, w, b) * cot).sum()
+
+    gx_r, gw_r, gb_r = jax.grad(loss(ops.typed_linear), argnums=(0, 1, 2))(
+        x, w, b)
+    gx_o, gw_o, gb_o = jax.grad(loss(ops.typed_linear_ragged),
+                                argnums=(0, 1, 2))(x, w, b)
+    np.testing.assert_allclose(np.asarray(gx_o), np.asarray(gx_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_o), np.asarray(gw_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb_o), np.asarray(gb_r),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_lattice_ragged_typed_matches_onehot_model():
+    """typed_impl='ragged' == the default on the full HEATNet4 lattice
+    forward and its parameter gradients, same params."""
+    feats, ntypes, mask = data(8)
+    g_l = build_lattice_device(feats, ntypes, mask, R, T)
+    kw = dict(in_dim=D, hidden_dim=32, out_dim=3, n_layers=2, n_heads=2,
+              n_node_types=T, dropout=0.0)
+    params = HEATNet4Lattice(**kw).init(jax.random.PRNGKey(9), g_l)
+    ref = np.asarray(HEATNet4Lattice(**kw).apply(params, g_l, train=False))
+    out = np.asarray(
+        HEATNet4Lattice(**kw, typed_impl="ragged").apply(
+            params, g_l, train=False)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    def loss(p, impl):
+        return HEATNet4Lattice(**kw, typed_impl=impl).apply(
+            p, g_l, train=False).sum()
+
+    g_ref = jax.grad(loss)(params, "onehot")
+    g_rag = jax.grad(loss)(params, "ragged")
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-5),
+        g_ref, g_rag,
+    )
+
+
 def test_lattice_sorted_agg_matches_onehot_model():
     """agg_impl='sorted' (O(E) dst-sorted gather + sorted segment_sum) ==
     agg_impl='onehot' on the full HEATNet4 lattice forward, same params."""

@@ -27,7 +27,7 @@ V5E_F32_PEAK = 49e12
 
 
 def main(batch: int = 2, lattice: bool = False, agg_dtype: str = "float32",
-         agg_impl: str = "onehot"):
+         agg_impl: str = "onehot", typed_impl: str = "onehot"):
     import jax
     import jax.numpy as jnp
 
@@ -47,7 +47,8 @@ def main(batch: int = 2, lattice: bool = False, agg_dtype: str = "float32",
     n, d, t, radius, reps = 2048, 1024, 6, 9, 8
     kw = dict(in_dim=d, hidden_dim=512, out_dim=2, n_layers=2,
               n_heads=4, n_node_types=t, dropout=0.2)
-    model = (HEATNet4Lattice(agg_dtype=agg_dtype, agg_impl=agg_impl, **kw)
+    model = (HEATNet4Lattice(agg_dtype=agg_dtype, agg_impl=agg_impl,
+                             typed_impl=typed_impl, **kw)
              if lattice else HEATNet4(**kw))
     tx = optax.adamw(1e-5, weight_decay=0.005)
 
@@ -101,8 +102,8 @@ def main(batch: int = 2, lattice: bool = False, agg_dtype: str = "float32",
         np.asarray(compiled(params, opt_state, g))
         best = min(best, time.perf_counter() - t0)
     per_step = best / reps * 1e3
-    path = (f"lattice {agg_impl} agg={agg_dtype}" if lattice
-            else "TypedGraph")
+    path = (f"lattice {agg_impl} agg={agg_dtype} typed={typed_impl}"
+            if lattice else "TypedGraph")
     line = (f"HEAT4 h512 train step (fwd+bwd+adamw, {path} path), batch "
             f"{batch} x {n} nodes: {per_step:.2f} ms/step = "
             f"{batch / (per_step / 1e3):.0f} slides/s training throughput")
@@ -120,8 +121,11 @@ if __name__ == "__main__":
     lattice = "--lattice" in args
     bf16_agg = "--bf16-agg" in args
     sorted_agg = "--sorted" in args
-    args = [a for a in args if a not in ("--lattice", "--bf16-agg", "--sorted")]
+    ragged = "--ragged" in args  # grouped-GEMM typed projections
+    args = [a for a in args
+            if a not in ("--lattice", "--bf16-agg", "--sorted", "--ragged")]
     for b in [int(a) for a in args] or [2, 4, 8]:
         main(b, lattice=lattice,
              agg_dtype="bfloat16" if bf16_agg else "float32",
-             agg_impl="sorted" if sorted_agg else "onehot")
+             agg_impl="sorted" if sorted_agg else "onehot",
+             typed_impl="ragged" if ragged else "onehot")

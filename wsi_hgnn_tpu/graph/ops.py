@@ -281,3 +281,90 @@ def typed_linear(
     oh = jax.nn.one_hot(node_type, weights.shape[0], dtype=feat.dtype)
     sel = jnp.einsum("tnh,nt->nh", all_out, oh)
     return sel + oh @ biases
+
+
+class TypeSort:
+    """Node permutation grouping rows by node type, shared across every
+    typed projection of a forward pass (the type vector never changes
+    within a model call). perm sorts rows type-major; inv undoes it;
+    group_sizes[t] counts rows of type t (summing to N, padding included).
+    Registered as a pytree so it can cross jit/vjp boundaries."""
+
+    def __init__(self, perm, inv, group_sizes):
+        self.perm = perm
+        self.inv = inv
+        self.group_sizes = group_sizes
+
+    def tree_flatten(self):
+        return (self.perm, self.inv, self.group_sizes), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+
+jax.tree_util.register_pytree_node(
+    TypeSort, TypeSort.tree_flatten, TypeSort.tree_unflatten
+)
+
+
+def make_type_sort(node_type: jax.Array, n_types: int) -> TypeSort:
+    perm = jnp.argsort(node_type, stable=True).astype(jnp.int32)
+    inv = jnp.argsort(perm).astype(jnp.int32)
+    group_sizes = jax.ops.segment_sum(
+        jnp.ones_like(node_type, dtype=jnp.int32), node_type,
+        num_segments=n_types,
+    )
+    return TypeSort(perm, inv, group_sizes)
+
+
+@jax.custom_vjp
+def _perm_rows(x: jax.Array, fwd_idx: jax.Array, bwd_idx: jax.Array):
+    """x[fwd_idx] for a PERMUTATION fwd_idx, with the transpose run as the
+    inverse-permutation gather instead of autodiff's scatter-add (TPU's
+    weakest primitive — same motivation as models.lattice.gather_dst)."""
+    del bwd_idx
+    return x[fwd_idx]
+
+
+def _perm_rows_fwd(x, fwd_idx, bwd_idx):
+    return x[fwd_idx], (fwd_idx, bwd_idx)
+
+
+def _perm_rows_bwd(res, g):
+    fwd_idx, bwd_idx = res
+    del fwd_idx
+    return g[bwd_idx], None, None
+
+
+_perm_rows.defvjp(_perm_rows_fwd, _perm_rows_bwd)
+
+
+def typed_linear_ragged(
+    feat: jax.Array,
+    node_type: jax.Array,
+    weights: jax.Array,
+    biases: jax.Array,
+    tsort: Optional[TypeSort] = None,
+) -> jax.Array:
+    """typed_linear via a grouped GEMM over type-sorted rows.
+
+    The einsum form above materialises an all-types [T, N, H] intermediate
+    (T x the selected work in both FLOPs and HBM traffic — the measured
+    residual bound of the lattice train step, PERF_NOTES r3).  Here rows
+    are permuted type-major once and `jax.lax.ragged_dot` runs ONE GEMM
+    whose weight matrix switches at group boundaries: 1x FLOPs, no [T,N,H]
+    round-trip.  Both permutations carry inverse-permutation VJPs, so the
+    backward is two gathers + ragged_dot's grouped transposes — no
+    scatters.  Exact up to f32 reassociation vs typed_linear.
+    """
+    if tsort is None:
+        tsort = make_type_sort(node_type, weights.shape[0])
+    xs = _perm_rows(feat, tsort.perm, tsort.inv)
+    ys = jax.lax.ragged_dot(
+        xs, weights, tsort.group_sizes,
+        preferred_element_type=feat.dtype,
+    )
+    y = _perm_rows(ys, tsort.inv, tsort.perm)
+    oh = jax.nn.one_hot(node_type, weights.shape[0], dtype=feat.dtype)
+    return y + oh @ biases

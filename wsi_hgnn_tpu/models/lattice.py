@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..graph import ops
 from .layers import LinearAttentionBlock, TypedDense, TypedHeads
 
 _CLAMP = 60.0
@@ -193,11 +194,13 @@ class HEATLayerLattice(nn.Module):
     # 'onehot' (XLA GEMM, the measured winner on TPU — PERF_NOTES round-3)
     # | 'sorted' (O(E) gather + sorted segment_sum over dst-sorted edges)
     agg_impl: str = "onehot"
+    # typed-projection formulation (layers.TypedDense impl switch)
+    typed_impl: str = "onehot"
 
     @nn.compact
     def __call__(self, g: LatticeGraph, h: jax.Array, dst_denom,
                  train: bool = False, a_mat: jax.Array = None,
-                 dst_sort=None) -> jax.Array:
+                 dst_sort=None, tsort=None) -> jax.Array:
         t = self.n_types
         b, n, k = g.idx.shape
         n_h, d_k = self.n_heads, self.out_dim // self.n_heads
@@ -206,9 +209,13 @@ class HEATLayerLattice(nn.Module):
 
         flat_h = h.reshape(b * n, -1)
         flat_ty = g.ntypes.reshape(b * n)
-        kv = TypedDense(t, self.out_dim, name="k_linears")(flat_h, flat_ty)
-        qv = TypedDense(t, self.out_dim, name="q_linears")(flat_h, flat_ty)
-        vv = TypedDense(t, self.out_dim, name="v_linears")(flat_h, flat_ty)
+        ti = self.typed_impl
+        kv = TypedDense(t, self.out_dim, impl=ti, name="k_linears")(
+            flat_h, flat_ty, tsort)
+        qv = TypedDense(t, self.out_dim, impl=ti, name="q_linears")(
+            flat_h, flat_ty, tsort)
+        vv = TypedDense(t, self.out_dim, impl=ti, name="v_linears")(
+            flat_h, flat_ty, tsort)
         kk = kv.reshape(b, n, n_h, d_k)
         vv = vv.reshape(b, n, n_h, d_k)
         skip = self.param("skip", nn.initializers.ones, (t,))
@@ -287,7 +294,8 @@ class HEATLayerLattice(nn.Module):
         # scatter transposes are tiny, the extra [N, T] operands are not)
         denom = jnp.maximum(dst_denom, 1.0)[flat_ty][:, None]
         t_agg = agg / denom
-        trans = TypedDense(t, self.out_dim, name="a_linears")(t_agg, flat_ty)
+        trans = TypedDense(t, self.out_dim, impl=ti, name="a_linears")(
+            t_agg, flat_ty, tsort)
         trans = nn.Dropout(self.dropout, deterministic=not train)(trans)
 
         alpha = jax.nn.sigmoid(skip)[flat_ty][:, None]
@@ -333,6 +341,7 @@ class HEATNet4Lattice(nn.Module):
     embed_dim: int = 256
     agg_dtype: str = "float32"
     agg_impl: str = "onehot"
+    typed_impl: str = "onehot"
 
     @nn.compact
     def __call__(self, g: LatticeGraph, train: bool = False) -> jax.Array:
@@ -341,8 +350,12 @@ class HEATNet4Lattice(nn.Module):
         dst_denom, type_present = _rel_presence(g, t)
         pres = type_present.astype(g.feats.dtype)
 
-        flat = TypedDense(t, self.hidden_dim, name="adapt_ws")(
-            g.feats.reshape(b * n, -1), g.ntypes.reshape(-1)
+        flat_ty = g.ntypes.reshape(-1)
+        tsort = (ops.make_type_sort(flat_ty, t)
+                 if self.typed_impl == "ragged" else None)
+        flat = TypedDense(t, self.hidden_dim, impl=self.typed_impl,
+                          name="adapt_ws")(
+            g.feats.reshape(b * n, -1), flat_ty, tsort
         )
         h = flat.reshape(b, n, self.hidden_dim)
         adt = jnp.bfloat16 if self.agg_dtype == "bfloat16" else h.dtype
@@ -353,8 +366,9 @@ class HEATNet4Lattice(nn.Module):
             h = HEATLayerLattice(
                 t, self.hidden_dim, self.n_heads, self.dropout,
                 agg_dtype=self.agg_dtype, agg_impl=self.agg_impl,
-                name=f"gcs_{i}"
-            )(g, h, dst_denom, train, a_mat=a_mat, dst_sort=dst_sort)
+                typed_impl=self.typed_impl, name=f"gcs_{i}"
+            )(g, h, dst_denom, train, a_mat=a_mat, dst_sort=dst_sort,
+              tsort=tsort)
 
         pooled = _pool_by_type(g, h, t, self.graph_pooling_type)  # [B, T, hidden]
         out_h = TypedHeads(t, self.embed_dim, name="linears_prediction")(pooled)
@@ -384,6 +398,7 @@ class HEATNet2Lattice(nn.Module):
     graph_pooling_type: str = "mean"
     agg_dtype: str = "float32"
     agg_impl: str = "onehot"
+    typed_impl: str = "onehot"
 
     @nn.compact
     def __call__(self, g: LatticeGraph, train: bool = False) -> jax.Array:
@@ -392,8 +407,12 @@ class HEATNet2Lattice(nn.Module):
         dst_denom, type_present = _rel_presence(g, t)
         pres = type_present.astype(g.feats.dtype)
 
-        flat = TypedDense(t, self.hidden_dim, name="adapt_ws")(
-            g.feats.reshape(b * n, -1), g.ntypes.reshape(-1)
+        flat_ty = g.ntypes.reshape(-1)
+        tsort = (ops.make_type_sort(flat_ty, t)
+                 if self.typed_impl == "ragged" else None)
+        flat = TypedDense(t, self.hidden_dim, impl=self.typed_impl,
+                          name="adapt_ws")(
+            g.feats.reshape(b * n, -1), flat_ty, tsort
         )
         h = flat.reshape(b, n, self.hidden_dim)
         adt = jnp.bfloat16 if self.agg_dtype == "bfloat16" else h.dtype
@@ -404,8 +423,9 @@ class HEATNet2Lattice(nn.Module):
             h = HEATLayerLattice(
                 t, self.hidden_dim, self.n_heads, self.dropout,
                 agg_dtype=self.agg_dtype, agg_impl=self.agg_impl,
-                name=f"gcs_{i}"
-            )(g, h, dst_denom, train, a_mat=a_mat, dst_sort=dst_sort)
+                typed_impl=self.typed_impl, name=f"gcs_{i}"
+            )(g, h, dst_denom, train, a_mat=a_mat, dst_sort=dst_sort,
+              tsort=tsort)
 
         pooled = _pool_by_type(g, h, t, self.graph_pooling_type)
         heads = TypedHeads(t, self.out_dim, name="linears_prediction")(pooled)

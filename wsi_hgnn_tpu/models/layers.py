@@ -52,9 +52,14 @@ class TypedDense(nn.Module):
 
     n_types: int
     features: int
+    # 'onehot': all-T einsum + one-hot select (the r3 default);
+    # 'ragged': type-sorted grouped GEMM (ops.typed_linear_ragged) — no
+    # [T, N, H] intermediate; pass a shared ops.TypeSort via `tsort`
+    impl: str = "onehot"
 
     @nn.compact
-    def __call__(self, feat: jax.Array, node_type: jax.Array) -> jax.Array:
+    def __call__(self, feat: jax.Array, node_type: jax.Array,
+                 tsort=None) -> jax.Array:
         d_in = feat.shape[-1]
         w = self.param(
             "kernel",
@@ -62,6 +67,8 @@ class TypedDense(nn.Module):
             (self.n_types, d_in, self.features),
         )
         b = self.param("bias", nn.initializers.zeros, (self.n_types, self.features))
+        if self.impl == "ragged":
+            return ops.typed_linear_ragged(feat, node_type, w, b, tsort)
         return ops.typed_linear(feat, node_type, w, b)
 
 

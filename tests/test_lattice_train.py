@@ -325,3 +325,46 @@ def test_lattice_batch_for_budget():
     assert lattice_batch_for_budget(8, 256, budget=2 << 30) == 8
     # one slide alone over budget -> None (fall back to the typed path)
     assert lattice_batch_for_budget(8, 8192, budget=100 << 20) is None
+
+
+def test_loader_propagates_worker_errors():
+    """A failure while packing a batch must raise in the consumer — a
+    swallowed exception would silently end the epoch early and train on a
+    truncated subset."""
+    from wsi_hgnn_tpu.data.loader import prefetched_batches
+
+    def boom(idx):
+        if idx == 2:
+            raise ValueError("corrupt slide")
+        return idx * 10
+
+    # prefetch path
+    got = []
+    with pytest.raises(ValueError, match="corrupt slide"):
+        for x in prefetched_batches(range(5), boom, prefetch=2):
+            got.append(x)
+    assert got == [0, 10]
+    # synchronous path raises too
+    with pytest.raises(ValueError, match="corrupt slide"):
+        list(prefetched_batches(range(5), boom, prefetch=0))
+
+
+def test_slide_regular_k_rejects_out_of_range_dst():
+    """A graph whose dst points outside the real nodes must NOT probe as
+    k-regular (on device it would silently clamp in gathers / vanish from
+    the one-hot aggregation) — it falls back to the TypedGraph path."""
+    from wsi_hgnn_tpu.graph import from_arrays
+
+    n, k = 6, 2
+    rng = np.random.RandomState(0)
+    feat = rng.randn(n, D).astype(np.float32)
+    src = np.repeat(np.arange(n), k).astype(np.int32)
+    dst = ((src + 1) % n).astype(np.int32)
+    dst[3] = n  # out of range
+    g = from_arrays(feat, src, dst, node_type=np.zeros(n, np.int32),
+                    n_node_types=6)
+    assert slide_regular_k(g) is None
+    dst[3] = 1
+    g = from_arrays(feat, src, dst, node_type=np.zeros(n, np.int32),
+                    n_node_types=6)
+    assert slide_regular_k(g) == k

@@ -224,3 +224,77 @@ def test_homo_serving_matches_loaded_graph_semantics(tmp_path):
                               train=False)
     ref = np.asarray(jax.nn.softmax(logits))[0]
     np.testing.assert_allclose(probs, ref, atol=2e-5)
+
+
+def test_lattice_budget_falls_back_to_typed(tmp_path):
+    """A group whose one-hot working set exceeds the lattice memory budget
+    must serve on the TypedGraph path — same answer, no [B, N*k, N] blow-up."""
+    pred = make_predictor(tmp_path, "HEAT2")
+    assert pred._predict_lattice is not None
+    slides = [_slide(48, 50), _slide(40, 51)]
+    want = pred.predict_many(slides)
+
+    tiny = SlidePredictor(pred.config, radius=RADIUS, n_node_types=6,
+                          lattice_mem_budget=1)  # nothing fits
+    assert tiny._predict_fn_for(2, 256) is tiny._predict_typed
+    got = tiny.predict_many(slides)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    # a roomy budget picks the lattice program
+    assert pred._predict_fn_for(2, 256) is pred._predict_lattice
+
+
+def test_batcher_groups_by_bucket(tmp_path):
+    """Mixed-size concurrent requests must NOT share a device batch: a
+    small slide never pays a big slide's padding (docstring contract)."""
+    pred = make_predictor(tmp_path, "GCN")
+    small = [_slide(40, 60 + i) for i in range(2)]
+    big = [_slide(300, 70 + i) for i in range(2)]  # different 256-bucket
+    for s in (small, big):
+        pred.predict_many(s)  # pre-compile both buckets
+
+    server = BatchingServer(pred, max_batch=4, max_wait_ms=1500.0)
+    server.start()
+    try:
+        results = {}
+
+        def call(name, slide):
+            results[name] = _post_npz(server.port, *slide)
+
+        threads = [
+            threading.Thread(target=call, args=(f"s{i}", s))
+            for i, s in enumerate(small)
+        ] + [
+            threading.Thread(target=call, args=(f"b{i}", s))
+            for i, s in enumerate(big)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert len(results) == 4 and all(
+            "probs" in r for r in results.values())
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/stats", timeout=10
+        ) as r:
+            stats = json.loads(r.read())
+        # 2 buckets -> at least 2 device batches, and never one batch of 4
+        assert stats["batches"] >= 2
+        assert stats["batched_requests_max"] <= 2
+        assert stats["errors"] == 0
+    finally:
+        server.stop()
+
+
+def test_stop_fails_pending_requests(tmp_path):
+    """stop() must complete queued requests with an error instead of
+    leaving their handler threads blocked forever."""
+    from wsi_hgnn_tpu.serve import _Request
+
+    pred = make_predictor(tmp_path, "GCN")
+    server = BatchingServer(pred)  # never started: batcher not running
+    f, t = _slide(12, 80)
+    req = _Request(f, t)
+    server.queue.put(req)
+    server.stop()
+    assert req.event.wait(timeout=5)
+    assert req.error is not None

@@ -31,6 +31,10 @@ def main():
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     p.add_argument("--warmup", type=int, default=0,
                    help="pre-compile for this many patches per slide (0 = off)")
+    p.add_argument("--lattice-mem-budget", type=int, default=2 << 30,
+                   help="bytes allowed for the lattice path's [B, N*k, N] "
+                        "one-hot working set; oversized groups fall back "
+                        "to the TypedGraph program")
     args = p.parse_args()
 
     from wsi_hgnn_tpu.config import load_config
@@ -43,7 +47,7 @@ def main():
     config = load_config(args.config)
     predictor = SlidePredictor(
         config, radius=args.radius, n_node_types=args.n_node_types,
-        knn_impl=args.knn_impl,
+        knn_impl=args.knn_impl, lattice_mem_budget=args.lattice_mem_budget,
     )
     if args.warmup:
         # the batcher pads every device call to max_batch, so one warmup

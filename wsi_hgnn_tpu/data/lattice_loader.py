@@ -18,14 +18,13 @@ graphs, hand-edited edge sets) falls back to the TypedGraph path.
 """
 from __future__ import annotations
 
-import queue
-import threading
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from ..graph.typed_graph import TypedGraph, bucket_size
 from ..models.lattice import LatticeGraph
+from .loader import prefetched_batches
 
 
 def slide_regular_k(g: TypedGraph) -> Optional[int]:
@@ -36,7 +35,10 @@ def slide_regular_k(g: TypedGraph) -> Optional[int]:
         return None
     k = e // n
     src = np.asarray(g.src)[:e]
-    if src.max(initial=0) >= n:
+    dst = np.asarray(g.dst)[:e]
+    # an out-of-range dst would silently clamp in the device gathers /
+    # vanish from the one-hot aggregation — reject to the TypedGraph path
+    if src.max(initial=0) >= n or dst.max(initial=0) >= n or dst.min(initial=0) < 0:
         return None
     counts = np.bincount(src, minlength=n)
     return k if np.all(counts == k) else None
@@ -172,26 +174,6 @@ class LatticeLoader:
         ]
 
     def __iter__(self) -> Iterator:
-        batches = self._index_batches()
-        if self.prefetch <= 0:
-            for idxs in batches:
-                yield self._make_batch(idxs)
-            return
-
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = object()
-
-        def worker():
-            try:
-                for idxs in batches:
-                    q.put(self._make_batch(idxs))
-            finally:
-                q.put(stop)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        yield from prefetched_batches(
+            self._index_batches(), self._make_batch, self.prefetch
+        )

@@ -23,6 +23,40 @@ from ..graph.batch import sort_graph_edges
 from ..graph.typed_graph import bucket_size
 
 
+def prefetched_batches(batches: Sequence, make_batch, prefetch: int):
+    """Yield make_batch(b) for every b, packed on a background thread.
+
+    Shared by GraphLoader and LatticeLoader. A worker exception RE-RAISES
+    in the consumer — a bare `finally: put(stop)` would instead end the
+    epoch early and let training silently continue on a truncated subset.
+    """
+    if prefetch <= 0:
+        for b in batches:
+            yield make_batch(b)
+        return
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = object()
+
+    def worker():
+        try:
+            for b in batches:
+                q.put(make_batch(b))
+            q.put(stop)
+        except BaseException as e:  # pragma: no cover - exercised in tests
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 class GraphLoader:
     def __init__(
         self,
@@ -85,29 +119,9 @@ class GraphLoader:
         ]
 
     def __iter__(self) -> Iterator[Tuple[TypedGraph, np.ndarray, np.ndarray]]:
-        batches = self._index_batches()
-        if self.prefetch <= 0:
-            for idxs in batches:
-                yield self._make_batch(idxs)
-            return
-
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = object()
-
-        def worker():
-            try:
-                for idxs in batches:
-                    q.put(self._make_batch(idxs))
-            finally:
-                q.put(stop)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        yield from prefetched_batches(
+            self._index_batches(), self._make_batch, self.prefetch
+        )
 
 
 def dataset_capacities(dataset, batch_size: int, bucket_base: int = 1024):

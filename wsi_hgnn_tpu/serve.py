@@ -62,6 +62,7 @@ class SlidePredictor:
         checkpoint_path: Optional[str] = None,
         knn_impl: str = "exact",
         use_lattice: bool = True,
+        lattice_mem_budget: int = 2 << 30,
     ):
         import jax
 
@@ -73,22 +74,26 @@ class SlidePredictor:
         self.radius = int(radius)
         self.n_node_types = int(n_node_types)
         self.knn_impl = knn_impl
+        self.lattice_mem_budget = int(lattice_mem_budget)
         path = checkpoint_path or config["checkpoint"]["path"]
         self._load_variables(path)
 
         # on-device construction always yields a k-regular graph, so models
         # with a lattice twin serve on the [B, N, k] fast path (identical
-        # param tree — the checkpoint loads unchanged)
+        # param tree — the checkpoint loads unchanged). Per-call the same
+        # memory budget the trainer applies gates the [B, N*k, N] one-hot
+        # working set; oversized groups fall back to the TypedGraph path.
         self.lattice_model = parse_lattice_twin(config["GNN"]) if use_lattice else None
         model, is_hetero = self.model, self.is_hetero
 
+        self._predict_lattice = None
         if self.lattice_model is not None:
             from .models.lattice import build_lattice_device
 
             lat = self.lattice_model
 
             @jax.jit
-            def _predict(variables, feats, ntypes, mask):
+            def _predict_lattice(variables, feats, ntypes, mask):
                 g = build_lattice_device(
                     feats, ntypes, mask, self.radius, self.n_node_types,
                     knn_impl=self.knn_impl,
@@ -97,23 +102,38 @@ class SlidePredictor:
                     {"params": variables["params"]}, g, train=False
                 )
                 return jax.nn.softmax(logits)
-        else:
 
-            @jax.jit
-            def _predict(variables, feats, ntypes, mask):
-                # homogeneous models train on loaded graphs that carry
-                # explicit self-loops (data layer contract, reference
-                # data.py:120-121) — the served graph must match
-                g = build_batch_device(
-                    feats, ntypes, mask, self.radius, self.n_node_types,
-                    knn_impl=self.knn_impl, add_self_loops=not is_hetero,
-                )
-                g = g if is_hetero else to_homogeneous(g)
-                logits = model.apply(variables, g, train=False)
-                return jax.nn.softmax(logits)
+            self._predict_lattice = _predict_lattice
 
-        self._predict_fn = _predict
+        @jax.jit
+        def _predict_typed(variables, feats, ntypes, mask):
+            # homogeneous models train on loaded graphs that carry
+            # explicit self-loops (data layer contract, reference
+            # data.py:120-121) — the served graph must match
+            g = build_batch_device(
+                feats, ntypes, mask, self.radius, self.n_node_types,
+                knn_impl=self.knn_impl, add_self_loops=not is_hetero,
+            )
+            g = g if is_hetero else to_homogeneous(g)
+            logits = model.apply(variables, g, train=False)
+            return jax.nn.softmax(logits)
+
+        self._predict_typed = _predict_typed
         self._lock = threading.Lock()  # device calls serialized per predictor
+
+    def _predict_fn_for(self, batch: int, cap: int):
+        """Pick the lattice or TypedGraph program for a padded group of
+        `batch` slides at node capacity `cap` — the lattice one-hot
+        aggregation materialises [B, N*k, N] f32, so the trainer's memory
+        budget applies here too (data.lattice_loader.lattice_batch_for_budget)."""
+        if self._predict_lattice is None:
+            return self._predict_typed
+        from .data.lattice_loader import lattice_batch_for_budget
+
+        fit = lattice_batch_for_budget(
+            self.radius - 1, cap, self.lattice_mem_budget, max_batch=batch
+        )
+        return self._predict_lattice if fit == batch else self._predict_typed
 
     def _load_variables(self, path: str) -> None:
         import jax
@@ -155,8 +175,9 @@ class SlidePredictor:
         feats, ntypes, mask = self.pack(slides)
         import jax.numpy as jnp
 
+        fn = self._predict_fn_for(feats.shape[0], feats.shape[1])
         with self._lock:
-            probs = self._predict_fn(
+            probs = fn(
                 self.variables, jnp.asarray(feats), jnp.asarray(ntypes),
                 jnp.asarray(mask),
             )
@@ -184,11 +205,15 @@ class SlidePredictor:
 # Micro-batching HTTP server
 # -------------------------------------------------------------------- #
 class _Request:
-    __slots__ = ("features", "node_types", "event", "probs", "error")
+    __slots__ = ("features", "node_types", "bucket", "event", "probs", "error")
 
     def __init__(self, features, node_types):
         self.features = features
         self.node_types = node_types
+        # size bucket (same rounding as SlidePredictor.pack): only
+        # same-bucket requests share a device batch, so a small slide
+        # never pays a big slide's padding
+        self.bucket = bucket_size(len(features), base=256)
         self.event = threading.Event()
         self.probs: Optional[np.ndarray] = None
         self.error: Optional[str] = None
@@ -222,6 +247,11 @@ class BatchingServer:
         # platforms a cold compile stalls every waiting client
         self.pad_batches = pad_batches
         self.queue: "Queue[_Request]" = Queue()
+        from collections import deque
+
+        # other-bucket requests set aside while a group forms (batcher
+        # thread owns it; _fail_pending may drain it on shutdown)
+        self._backlog: "deque[_Request]" = deque()
         self.stats = {
             "requests": 0, "batches": 0, "errors": 0,
             "batched_requests_max": 0, "latency_ms_sum": 0.0,
@@ -296,8 +326,15 @@ class BatchingServer:
                         "error": f"node_types must be in [0, "
                                  f"{server.predictor.n_node_types})"})
                     return
+                if server._stop.is_set():
+                    self._reply(503, {"error": "server stopping"})
+                    return
                 req = _Request(feats, ntypes)
                 server.queue.put(req)
+                if server._stop.is_set():
+                    # raced with shutdown: the batcher's drain may already
+                    # have run, so complete the request ourselves
+                    server._fail_pending("server stopped")
                 req.event.wait()
                 dt = (time.perf_counter() - t0) * 1e3
                 with server._stats_lock:
@@ -321,39 +358,80 @@ class BatchingServer:
         self._threads: List[threading.Thread] = []
 
     # ---------------------------------------------------------------- #
+    def _fail_pending(self, msg: str) -> None:
+        """Complete every queued/backlogged request with an error so no
+        handler thread waits forever (idempotent; also called by stop())."""
+        while self._backlog:
+            try:
+                r = self._backlog.popleft()
+            except IndexError:
+                break
+            r.error = msg
+            r.event.set()
+        while True:
+            try:
+                r = self.queue.get_nowait()
+            except Empty:
+                break
+            r.error = msg
+            r.event.set()
+
     def _batcher(self) -> None:
-        while not self._stop.is_set():
+        # whatever ends this loop — stop(), or an unexpected error — the
+        # finally drains pending requests instead of leaving their handler
+        # threads blocked on event.wait() forever
+        try:
+            while not self._stop.is_set():
+                self._batch_once()
+        finally:
+            self._stop.set()
+            self._fail_pending("server stopped")
+
+    def _batch_once(self) -> None:
+        if self._backlog:
+            first = self._backlog.popleft()
+        else:
             try:
                 first = self.queue.get(timeout=0.1)
             except Empty:
-                continue
-            group = [first]
-            deadline = time.perf_counter() + self.max_wait
-            while len(group) < self.max_batch:
-                remaining = deadline - time.perf_counter()
-                if remaining <= 0:
-                    break
-                try:
-                    group.append(self.queue.get(timeout=remaining))
-                except Empty:
-                    break
+                return
+        group = [first]
+        skipped: List[_Request] = []
+        deadline = time.perf_counter() + self.max_wait
+        while len(group) < self.max_batch:
+            # same-bucket requests already set aside come first
+            while self._backlog and len(group) < self.max_batch:
+                r = self._backlog.popleft()
+                (group if r.bucket == first.bucket else skipped).append(r)
+            if len(group) >= self.max_batch:
+                break
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
             try:
-                slides = [(r.features, r.node_types) for r in group]
-                if self.pad_batches and len(slides) < self.max_batch:
-                    slides += [slides[0]] * (self.max_batch - len(slides))
-                probs = self.predictor.predict_many(slides)[: len(group)]
-                for r, p in zip(group, probs):
-                    r.probs = p
-            except Exception as e:  # propagate to every waiter
-                for r in group:
-                    r.error = f"{type(e).__name__}: {e}"
-            with self._stats_lock:
-                self.stats["batches"] += 1
-                self.stats["batched_requests_max"] = max(
-                    self.stats["batched_requests_max"], len(group)
-                )
+                r = self.queue.get(timeout=remaining)
+            except Empty:
+                break
+            (group if r.bucket == first.bucket else skipped).append(r)
+        # other-bucket arrivals keep their order for the next round
+        self._backlog.extendleft(reversed(skipped))
+        try:
+            slides = [(r.features, r.node_types) for r in group]
+            if self.pad_batches and len(slides) < self.max_batch:
+                slides += [slides[0]] * (self.max_batch - len(slides))
+            probs = self.predictor.predict_many(slides)[: len(group)]
+            for r, p in zip(group, probs):
+                r.probs = p
+        except Exception as e:  # propagate to every waiter
             for r in group:
-                r.event.set()
+                r.error = f"{type(e).__name__}: {e}"
+        with self._stats_lock:
+            self.stats["batches"] += 1
+            self.stats["batched_requests_max"] = max(
+                self.stats["batched_requests_max"], len(group)
+            )
+        for r in group:
+            r.event.set()
 
     def start(self) -> None:
         """Run both loops in background threads (in-process / test use)."""
@@ -364,8 +442,15 @@ class BatchingServer:
 
     def stop(self) -> None:
         self._stop.set()
-        self.httpd.shutdown()
+        # httpd.shutdown() waits for serve_forever() to exit — and waits
+        # FOREVER if the accept loop was never started (stdlib semantics),
+        # so only call it once start()/serve_forever() ran
+        if self._threads:
+            self.httpd.shutdown()
         self.httpd.server_close()
+        # the batcher's finally drains too, but it may already be dead —
+        # fail anything still pending so no client hangs
+        self._fail_pending("server stopped")
 
     def serve_forever(self) -> None:
         """Blocking server: HTTP accept loop in a background thread, the

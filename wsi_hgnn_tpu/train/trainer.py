@@ -122,6 +122,7 @@ class GNNTrainer:
         self._lat_model = None
         self._lat_eval_fwd = None
         self._lat_eval_splits: Dict[str, Any] = {}
+        self._split_info_cache: Dict[str, Any] = {}
         if not self._big_graph and self.is_hetero and str(
             self.config_train.get("lattice", "auto")
         ).lower() not in ("off", "false", "0"):
@@ -129,15 +130,21 @@ class GNNTrainer:
 
             self._lat_model = parse_lattice_twin(self.config_gnn)
         if self._lat_model is not None:
-            from ..data.lattice_loader import LatticeLoader
+            from ..data.lattice_loader import (
+                LatticeLoader,
+                lattice_batch_for_budget,
+            )
 
             probe = lat_probe
             # the one-hot destination matrix is the lattice path's working
             # set: [B, N*k, N] f32; stay on the segment path when it would
-            # not comfortably fit (2 GB default budget)
+            # not comfortably fit (2 GB default budget) — the shared
+            # budget helper keeps this arithmetic in ONE place
             budget = self.config_train.get("lattice_mem_budget", 2 << 30)
             if probe is not None and (
-                self.batch_size * probe[1] * probe[0] * probe[1] * 4 <= budget
+                lattice_batch_for_budget(
+                    probe[0], probe[1], budget, max_batch=self.batch_size
+                ) == self.batch_size
             ):
                 self._lattice = True
                 self._lat_k, lat_cap_n = probe
@@ -399,18 +406,31 @@ class GNNTrainer:
             "rng": self.state.rng,
         }
 
+    def _split_info(self, split_path: str):
+        """(data, average, (cap_n, cap_e), lattice_probe) — ONE dataset
+        scan per split (probe_lattice_and_capacities), shared by the
+        lattice and TypedGraph eval paths so an irregular split doesn't
+        pay the full-split disk read twice."""
+        if split_path not in self._split_info_cache:
+            from ..data.lattice_loader import probe_lattice_and_capacities
+
+            data, average = select_dataset(self.config_data, split_path, "eval")
+            cap_n, cap_e, probe = probe_lattice_and_capacities(data, 8)
+            self._split_info_cache[split_path] = (
+                data, average, (cap_n, cap_e), probe
+            )
+        return self._split_info_cache[split_path]
+
     def _evaluate_split_lattice(self, split_path: str):
         """Per-epoch eval on the lattice path (falls back to the TypedGraph
         evaluator — same params, same metrics — when a split is irregular)."""
         from ..data.lattice_loader import (
             LatticeLoader,
             lattice_batch_for_budget,
-            probe_lattice,
         )
 
         if split_path not in self._lat_eval_splits:
-            data, average = select_dataset(self.config_data, split_path, "eval")
-            probe = probe_lattice(data)
+            data, average, _caps, probe = self._split_info(split_path)
             entry = None
             if probe is not None:
                 budget = self.config_train.get("lattice_mem_budget", 2 << 30)
@@ -438,8 +458,10 @@ class GNNTrainer:
             if m is not None:
                 return m
         if split_path not in self._eval_splits:
-            data, average = select_dataset(self.config_data, split_path, "eval")
-            self._eval_splits[split_path] = (data, average, make_eval_loader(data))
+            data, average, caps, _probe = self._split_info(split_path)
+            self._eval_splits[split_path] = (
+                data, average, make_eval_loader(data, caps=caps)
+            )
         data, average, loader = self._eval_splits[split_path]
         return evaluate(
             self.model,

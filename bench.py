@@ -430,7 +430,37 @@ def measure_reference_baseline() -> float:
     return 1.0 / per_slide
 
 
+def _wait_for_backend(attempts: int = 5, delay_s: float = 60.0,
+                      probe_timeout_s: float = 300.0) -> None:
+    """Block until the TPU relay answers; raise only after `attempts`
+    failures so a transient relay outage doesn't void the benchmark run.
+    The relay fails two ways — a fast UNAVAILABLE error, or an indefinite
+    hang inside backend init — so each probe runs in a SUBPROCESS with a
+    timeout (an in-process jax.devices() hang cannot be interrupted)."""
+    import subprocess
+
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=probe_timeout_s,
+            )
+            if r.returncode == 0:
+                return
+            err = r.stderr.decode(errors="replace").strip()[-200:]
+        except subprocess.TimeoutExpired:
+            err = f"probe timed out after {probe_timeout_s:.0f}s"
+        if i == attempts - 1:
+            raise RuntimeError(
+                f"TPU backend unavailable after {attempts} probes: {err}"
+            )
+        log(f"backend unavailable ({err}); retry {i + 1}/{attempts} "
+            f"in {delay_s:.0f}s")
+        time.sleep(delay_s)
+
+
 def main():
+    _wait_for_backend()
     # TPU first: the baseline's torch/OpenMP threadpools spin-wait and can
     # starve the host dispatch loop on low-core machines if run before
     value = measure_tpu()

@@ -368,3 +368,22 @@ def test_slide_regular_k_rejects_out_of_range_dst():
     g = from_arrays(feat, src, dst, node_type=np.zeros(n, np.int32),
                     n_node_types=6)
     assert slide_regular_k(g) == k
+
+
+def test_probe_edge_cases_fall_back_not_crash():
+    """Negative src must probe None (bincount would crash), and a k=0
+    budget query must return None (radius-1 serving), not divide by zero."""
+    from wsi_hgnn_tpu.data.lattice_loader import lattice_batch_for_budget
+    from wsi_hgnn_tpu.graph import from_arrays
+
+    n, k = 6, 2
+    rng = np.random.RandomState(1)
+    feat = rng.randn(n, D).astype(np.float32)
+    src = np.repeat(np.arange(n), k).astype(np.int32)
+    dst = ((src + 1) % n).astype(np.int32)
+    src[0] = -1
+    g = from_arrays(feat, src, dst, node_type=np.zeros(n, np.int32),
+                    n_node_types=6)
+    assert slide_regular_k(g) is None
+
+    assert lattice_batch_for_budget(0, 256) is None

@@ -298,3 +298,24 @@ def test_stop_fails_pending_requests(tmp_path):
     server.stop()
     assert req.event.wait(timeout=5)
     assert req.error is not None
+
+
+def test_batcher_completes_group_on_fatal_error(tmp_path):
+    """Even a BaseException during predict (e.g. KeyboardInterrupt on a
+    main-thread batcher) must complete every grouped request — an unset
+    event hangs its handler thread and client forever."""
+    from wsi_hgnn_tpu.serve import _Request
+
+    pred = make_predictor(tmp_path, "GCN")
+    server = BatchingServer(pred, max_wait_ms=1.0)
+
+    def boom(slides):
+        raise KeyboardInterrupt
+
+    server.predictor = type("P", (), {"predict_many": staticmethod(boom)})()
+    req = _Request(*_slide(12, 90))
+    server.queue.put(req)
+    with pytest.raises(KeyboardInterrupt):
+        server._batch_once()
+    assert req.event.is_set()
+    assert req.error is not None

@@ -36,9 +36,11 @@ def slide_regular_k(g: TypedGraph) -> Optional[int]:
     k = e // n
     src = np.asarray(g.src)[:e]
     dst = np.asarray(g.dst)[:e]
-    # an out-of-range dst would silently clamp in the device gathers /
-    # vanish from the one-hot aggregation — reject to the TypedGraph path
-    if src.max(initial=0) >= n or dst.max(initial=0) >= n or dst.min(initial=0) < 0:
+    # out-of-range endpoints would silently clamp in the device gathers /
+    # vanish from the one-hot aggregation (and a negative src would crash
+    # the bincount below) — reject to the TypedGraph path
+    if (src.max(initial=0) >= n or src.min(initial=0) < 0
+            or dst.max(initial=0) >= n or dst.min(initial=0) < 0):
         return None
     counts = np.bincount(src, minlength=n)
     return k if np.all(counts == k) else None
@@ -96,6 +98,11 @@ def lattice_batch_for_budget(k: int, cap_n: int, budget: int = 2 << 30,
     """Largest batch size (<= max_batch) whose one-hot destination matrix
     [B, N*k, N] f32 fits `budget` bytes, or None when even B=1 does not —
     the same working-set guard the trainer applies to its train batches."""
+    if k < 1:
+        # degenerate lattice (e.g. serving with radius 1): no edges, no
+        # one-hot matrix — stay on the TypedGraph path rather than divide
+        # by a zero working set below
+        return None
     per = cap_n * k * cap_n * 4
     if per > budget:
         return None

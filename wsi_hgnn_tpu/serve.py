@@ -387,51 +387,68 @@ class BatchingServer:
             self._stop.set()
             self._fail_pending("server stopped")
 
+    def _pop_backlog(self) -> Optional[_Request]:
+        # _fail_pending may drain the backlog concurrently during
+        # shutdown, so a truthiness check alone cannot guard the pop
+        try:
+            return self._backlog.popleft()
+        except IndexError:
+            return None
+
     def _batch_once(self) -> None:
-        if self._backlog:
-            first = self._backlog.popleft()
-        else:
+        first = self._pop_backlog()
+        if first is None:
             try:
                 first = self.queue.get(timeout=0.1)
             except Empty:
                 return
         group = [first]
-        skipped: List[_Request] = []
-        deadline = time.perf_counter() + self.max_wait
-        while len(group) < self.max_batch:
-            # same-bucket requests already set aside come first
-            while self._backlog and len(group) < self.max_batch:
-                r = self._backlog.popleft()
-                (group if r.bucket == first.bucket else skipped).append(r)
-            if len(group) >= self.max_batch:
-                break
-            remaining = deadline - time.perf_counter()
-            if remaining <= 0:
-                break
-            try:
-                r = self.queue.get(timeout=remaining)
-            except Empty:
-                break
-            (group if r.bucket == first.bucket else skipped).append(r)
-        # other-bucket arrivals keep their order for the next round
-        self._backlog.extendleft(reversed(skipped))
         try:
-            slides = [(r.features, r.node_types) for r in group]
-            if self.pad_batches and len(slides) < self.max_batch:
-                slides += [slides[0]] * (self.max_batch - len(slides))
-            probs = self.predictor.predict_many(slides)[: len(group)]
-            for r, p in zip(group, probs):
-                r.probs = p
-        except Exception as e:  # propagate to every waiter
+            skipped: List[_Request] = []
+            deadline = time.perf_counter() + self.max_wait
+            while len(group) < self.max_batch:
+                # same-bucket requests already set aside come first
+                while len(group) < self.max_batch:
+                    r = self._pop_backlog()
+                    if r is None:
+                        break
+                    (group if r.bucket == first.bucket else skipped).append(r)
+                if len(group) >= self.max_batch:
+                    break
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    r = self.queue.get(timeout=remaining)
+                except Empty:
+                    break
+                (group if r.bucket == first.bucket else skipped).append(r)
+            # other-bucket arrivals keep their order for the next round
+            self._backlog.extendleft(reversed(skipped))
+            try:
+                slides = [(r.features, r.node_types) for r in group]
+                if self.pad_batches and len(slides) < self.max_batch:
+                    slides += [slides[0]] * (self.max_batch - len(slides))
+                probs = self.predictor.predict_many(slides)[: len(group)]
+                for r, p in zip(group, probs):
+                    r.probs = p
+            except Exception as e:  # propagate to every waiter
+                for r in group:
+                    r.error = f"{type(e).__name__}: {e}"
+            with self._stats_lock:
+                self.stats["batches"] += 1
+                self.stats["batched_requests_max"] = max(
+                    self.stats["batched_requests_max"], len(group)
+                )
+        finally:
+            # EVERY grouped request completes, even if a BaseException
+            # (KeyboardInterrupt on a main-thread batcher) or a shutdown
+            # race aborts the round — an unset event hangs its handler
+            # thread and client forever
             for r in group:
-                r.error = f"{type(e).__name__}: {e}"
-        with self._stats_lock:
-            self.stats["batches"] += 1
-            self.stats["batched_requests_max"] = max(
-                self.stats["batched_requests_max"], len(group)
-            )
-        for r in group:
-            r.event.set()
+                if r.probs is None and r.error is None:
+                    r.error = "server error"
+                r.event.set()
 
     def start(self) -> None:
         """Run both loops in background threads (in-process / test use)."""

@@ -1,0 +1,179 @@
+"""Serving throughput: concurrent HTTP clients against the micro-batching
+server (wsi_hgnn_tpu/serve.py) — the reproducible form of the PERF_NOTES
+serving measurement.
+
+Spins up a SlidePredictor (a synthetic HEAT4 checkpoint at the BRCA
+operating point unless -config/--checkpoint point at a real one), runs the
+batcher on the MAIN thread (this environment's relay aborts on compiles
+from other threads — CLAUDE.md), and fires `--requests` slide requests
+from `--clients` concurrent HTTP clients. Prints one summary line with
+slides/s, latency percentiles, and the server's batching stats.
+
+  python tools/bench_serve.py                    # synthetic checkpoint
+  python tools/bench_serve.py --requests 64 --clients 16 --max-wait-ms 20
+  python tools/bench_serve.py -config configs/BRCA/HEAT2_kimia_v2.yml
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SYNTH_CFG = """
+name: BenchServe
+GNN:
+  name: "HEAT4"
+  n_node_types: 6
+  num_layers: 2
+  in_dim: {dim}
+  hidden_dim: 512
+  out_dim: 2
+  n_heads: 4
+  feat_drop: 0.2
+  graph_pooling_type: mean
+checkpoint:
+  path: "{ckpt}"
+"""
+
+
+def synth_predictor(dim: int, radius: int):
+    """HEAT4 h512 predictor over a freshly-initialised synthetic
+    checkpoint (weights don't affect throughput)."""
+    import jax
+
+    from wsi_hgnn_tpu.config import loads_config, parse_gnn_model
+    from wsi_hgnn_tpu.graph.build import build_batch_device
+    from wsi_hgnn_tpu.serve import SlidePredictor
+    from wsi_hgnn_tpu.train.checkpoint import CheckpointManager
+
+    tmp = tempfile.mkdtemp(prefix="bench_serve_")
+    cfg = loads_config(SYNTH_CFG.format(dim=dim, ckpt=os.path.join(tmp, "ckpt")))
+    model, _ = parse_gnn_model(cfg["GNN"])
+    rng = np.random.RandomState(0)
+    g = build_batch_device(
+        rng.randn(1, 64, dim).astype(np.float32),
+        rng.randint(0, 6, (1, 64)).astype(np.int32),
+        np.ones((1, 64), bool), radius, 6,
+    )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), g)
+    cm = CheckpointManager(os.path.join(tmp, "ckpt"))
+    cm.write_new_version(
+        cfg, {"params": variables["params"], "batch_stats": {}}, {"Epoch": 1}
+    )
+    return SlidePredictor(cfg, radius=radius, n_node_types=6)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-config", default="", help="training YAML (else synthetic)")
+    p.add_argument("--checkpoint", default="", help="override checkpoint dir")
+    p.add_argument("--requests", type=int, default=64)
+    p.add_argument("--clients", type=int, default=16)
+    p.add_argument("--patches", type=int, default=2048)
+    p.add_argument("--feat-dim", type=int, default=1024)
+    p.add_argument("--radius", type=int, default=9)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-wait-ms", type=float, default=20.0)
+    args = p.parse_args()
+
+    from wsi_hgnn_tpu.serve import BatchingServer, SlidePredictor
+    from wsi_hgnn_tpu.utils import enable_compile_cache, ensure_backend
+
+    ensure_backend()
+    enable_compile_cache()
+
+    if args.config:
+        from wsi_hgnn_tpu.config import load_config
+
+        predictor = SlidePredictor(
+            load_config(args.config), radius=args.radius,
+            checkpoint_path=args.checkpoint or None,
+        )
+    else:
+        predictor = synth_predictor(args.feat_dim, args.radius)
+
+    print(f"warmup: batch {args.max_batch} x {args.patches} patches ...",
+          flush=True)
+    t0 = time.perf_counter()
+    predictor.warmup(args.patches, batch_sizes=(args.max_batch,))
+    print(f"warmup done in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    server = BatchingServer(
+        predictor, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
+    )
+
+    # one request body per client, rotated (synthesis off the clock)
+    rng = np.random.RandomState(1)
+    bodies = []
+    for _ in range(min(args.clients, 4)):
+        buf = io.BytesIO()
+        np.savez(
+            buf,
+            features=rng.randn(args.patches, predictor.in_dim).astype(np.float32),
+            node_types=rng.randint(0, 6, args.patches).astype(np.int32),
+        )
+        bodies.append(buf.getvalue())
+
+    latencies: list[float] = []
+    lat_lock = threading.Lock()
+    wall = {}
+
+    def client(i: int, n: int):
+        for j in range(n):
+            body = bodies[(i + j) % len(bodies)]
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{server.port}/predict", data=body,
+                headers={"Content-Type": "application/octet-stream"},
+            )
+            t0 = time.perf_counter()
+            with urllib.request.urlopen(req, timeout=600) as r:
+                json.loads(r.read())
+            with lat_lock:
+                latencies.append(time.perf_counter() - t0)
+
+    per_client = args.requests // args.clients
+    extra = args.requests - per_client * args.clients
+
+    def drive():
+        threads = [
+            threading.Thread(target=client, args=(i, per_client + (1 if i < extra else 0)))
+            for i in range(args.clients)
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall["s"] = time.perf_counter() - t0
+        server.stop()
+
+    driver = threading.Thread(target=drive, daemon=True)
+    driver.start()
+    server.serve_forever()  # batcher (device work) on the MAIN thread
+    driver.join(timeout=30)
+
+    lats = np.asarray(sorted(latencies))
+    stats = dict(server.stats)
+    print(
+        f"{len(lats)} requests of {args.patches} x {predictor.in_dim}-d "
+        f"features from {args.clients} clients: "
+        f"{len(lats) / wall['s']:.2f} slides/s end-to-end "
+        f"(wall {wall['s']:.1f}s; p50 {np.percentile(lats, 50):.2f}s, "
+        f"p95 {np.percentile(lats, 95):.2f}s); "
+        f"{stats['batches']} device batches, max group "
+        f"{stats['batched_requests_max']}, errors {stats['errors']}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -169,3 +169,38 @@ def test_lattice_sorted_agg_matches_onehot_model():
     total = sum(float(np.abs(np.asarray(v)).sum())
                 for v in jax.tree.leaves(grads))
     assert np.isfinite(total) and total > 0
+
+
+def test_graph_presence_is_grouping_invariant():
+    """presence='graph' (the evaluator/serving mode): a slide's output
+    must not depend on which other slides share its batch — the
+    reference evaluates one graph at a time (eval_homo_graph.py:75-84),
+    so per-slide occupancy is its eval semantics. presence='batch' (the
+    reference's batched-training semantics) is legitimately
+    batch-dependent for slides missing node types."""
+    rng = np.random.RandomState(11)
+    feats = jnp.asarray(rng.randn(2, N, D).astype(np.float32))
+    # slide 0 only has types {0, 1}; slide 1 has all six
+    nt = rng.randint(0, T, (2, N)).astype(np.int32)
+    nt[0] = nt[0] % 2
+    ntypes = jnp.asarray(nt)
+    mask = jnp.ones((2, N), bool)
+
+    g_pair = build_lattice_device(feats, ntypes, mask, R, T)
+    g_solo = build_lattice_device(feats[:1], ntypes[:1], mask[:1], R, T)
+
+    kw = dict(in_dim=D, hidden_dim=32, out_dim=3, n_layers=2, n_heads=2,
+              n_node_types=T, dropout=0.0)
+    params = HEATNet4Lattice(**kw).init(jax.random.PRNGKey(3), g_solo)
+
+    per_graph = HEATNet4Lattice(**kw, presence="graph")
+    solo = np.asarray(per_graph.apply(params, g_solo, train=False))[0]
+    grouped = np.asarray(per_graph.apply(params, g_pair, train=False))[0]
+    np.testing.assert_allclose(grouped, solo, rtol=1e-5, atol=1e-6)
+
+    # batch mode IS grouping-dependent here (that's why eval/serving
+    # must not use it) — guard that this test is actually discriminating
+    batch = HEATNet4Lattice(**kw)
+    solo_b = np.asarray(batch.apply(params, g_solo, train=False))[0]
+    grouped_b = np.asarray(batch.apply(params, g_pair, train=False))[0]
+    assert np.abs(grouped_b - solo_b).max() > 1e-6

@@ -26,6 +26,7 @@ GNN:
   hidden_dim: 32
   out_dim: 2
   n_heads: 2
+  num_heads: 2
   feat_drop: 0.0
   graph_pooling_type: mean
 checkpoint:
@@ -319,3 +320,45 @@ def test_batcher_completes_group_on_fatal_error(tmp_path):
         server._batch_once()
     assert req.event.is_set()
     assert req.error is not None
+
+
+def test_hetero_serving_is_grouping_invariant(tmp_path):
+    """A served hetero prediction must not depend on co-batched requests.
+    Hetero models compute relation/type occupancy, which on one batched
+    graph is batch-global — serving therefore uses per-slide occupancy
+    (the reference's one-graph-at-a-time eval semantics): slide A
+    (node types {0,1} only) served alone must equal A co-batched with a
+    full-type slide B, on BOTH the lattice (HEAT2) and TypedGraph (HGT)
+    serving paths."""
+    rng = np.random.RandomState(7)
+    fa = rng.randn(40, 16).astype(np.float32)
+    ta = (rng.randint(0, 6, 40) % 2).astype(np.int32)  # types {0,1} only
+    fb, tb = _slide(40, 99)
+
+    for gnn in ("HEAT2", "HGT"):
+        sub = tmp_path / gnn.lower()
+        sub.mkdir()
+        pred = make_predictor(sub, gnn)
+        if gnn == "HEAT2":
+            assert pred._predict_lattice is not None
+        else:
+            assert pred.lattice_model is None  # TypedGraph path
+        solo = pred.predict(fa, ta)
+        grouped = pred.predict_many([(fa, ta), (fb, tb)])[0]
+        np.testing.assert_allclose(grouped, solo, atol=2e-5,
+                                   err_msg=f"{gnn} grouping-dependent")
+
+
+def test_oversized_body_is_rejected(tmp_path):
+    """An oversized client-declared Content-Length must 413 before the
+    body is read into RAM (one request must not be able to OOM the
+    server)."""
+    pred = make_predictor(tmp_path, "GCN")
+    server = BatchingServer(pred, max_body_mb=0.001)
+    server.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post_npz(server.port, *_slide(24, 1))
+        assert exc.value.code == 413
+    finally:
+        server.stop()

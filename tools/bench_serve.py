@@ -102,15 +102,14 @@ def main():
     else:
         predictor = synth_predictor(args.feat_dim, args.radius)
 
-    print(f"warmup: batch {args.max_batch} x {args.patches} patches ...",
-          flush=True)
-    t0 = time.perf_counter()
-    predictor.warmup(args.patches, batch_sizes=(args.max_batch,))
-    print(f"warmup done in {time.perf_counter() - t0:.1f}s", flush=True)
-
     server = BatchingServer(
         predictor, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
     )
+    print(f"warmup: batch {args.max_batch} x {args.patches} patches ...",
+          flush=True)
+    t0 = time.perf_counter()
+    server.warmup(args.patches)
+    print(f"warmup done in {time.perf_counter() - t0:.1f}s", flush=True)
 
     # one request body per client, rotated (synthesis off the clock)
     rng = np.random.RandomState(1)

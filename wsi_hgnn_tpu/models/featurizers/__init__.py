@@ -21,7 +21,7 @@ from . import convert
 __all__ = [
     "DenseNet121", "KimiaNet", "EfficientNet", "EffNetV2", "HoVerNet",
     "node_types_from_tp", "node_types_on_device", "convert",
-    "make_cnn_encoder", "make_hover_typing",
+    "make_cnn_encoder", "make_hover_typing", "make_hover_typing_device",
 ]
 
 
@@ -65,6 +65,23 @@ def _load_hover_variables(hovernet_config: Dict, nr_types: int,
     return model, variables, in_dtype
 
 
+def make_hover_typing_device(hovernet_config: Dict, nr_types: int = 6):
+    """Traceable typing head: imgs [B,256,256,3] f32 -> node types [B]
+    int32 (encoder + tp decoder + on-device majority typing). NOT jitted —
+    built to compose into a caller's larger program (make_cnn_encoder
+    fuses it with the featurizer so one patch upload feeds both CNNs)."""
+    model, variables, in_dtype = _load_hover_variables(
+        hovernet_config, nr_types, with_fc1=False
+    )
+
+    def typing_dev(imgs):
+        return hovernet_typing_apply(
+            model, variables, imgs.astype(in_dtype), nr_types
+        )
+
+    return typing_dev
+
+
 def make_hover_typing(hovernet_config: Dict, nr_types: int = 6
                       ) -> Callable[[np.ndarray], np.ndarray]:
     """Node-typing stage the reference constructor ALWAYS runs
@@ -75,15 +92,10 @@ def make_hover_typing(hovernet_config: Dict, nr_types: int = 6
     import jax
     import jax.numpy as jnp
 
-    model, variables, in_dtype = _load_hover_variables(
-        hovernet_config, nr_types, with_fc1=False
-    )
-    typed = jax.jit(
-        lambda imgs: hovernet_typing_apply(model, variables, imgs, nr_types)
-    )
+    typed = jax.jit(make_hover_typing_device(hovernet_config, nr_types))
 
     def typing(patches: np.ndarray) -> np.ndarray:
-        return np.asarray(typed(jnp.asarray(patches, in_dtype)))
+        return np.asarray(typed(jnp.asarray(patches, np.float32)))
 
     return typing
 
@@ -129,9 +141,32 @@ def make_cnn_encoder(name: str, config: Dict, hovernet_config: Dict,
 
         return encode
 
-    typing_fn = None
+    # fused two-CNN program: the typing head composes into the SAME jitted
+    # call as the featurizer, so each decoded patch chunk is uploaded once
+    # and dispatched once (the reference runs both CNNs over one patch
+    # stream, graph_constructor.py:239-254; two separate dispatches cost
+    # ~40 ms each on this environment's relay)
+    typing_dev = None
     if with_typing and name in ("kimia", "efficientnet-b4"):
-        typing_fn = make_hover_typing(hovernet_config, nr_types)
+        typing_dev = make_hover_typing_device(hovernet_config, nr_types)
+
+    def _wrap(feat_part):
+        import jax
+
+        if typing_dev is None:
+            fn = jax.jit(feat_part)
+
+            def encode(patches: np.ndarray):
+                return np.asarray(fn(jnp.asarray(patches)),
+                                  np.float32), None
+        else:
+            fn = jax.jit(lambda imgs: (feat_part(imgs), typing_dev(imgs)))
+
+            def encode(patches: np.ndarray):
+                feats, types = fn(jnp.asarray(patches))
+                return np.asarray(feats, np.float32), np.asarray(types)
+
+        return encode
 
     if name == "kimia":
         model = KimiaNet()
@@ -150,22 +185,15 @@ def make_cnn_encoder(name: str, config: Dict, hovernet_config: Dict,
 
             fp = fuse_kimianet(variables, dtype=jnp.bfloat16)
 
-            @jax.jit
-            def fwd(imgs):
+            def feat_part(imgs):
                 out_1, _ = kimianet_fused_apply(fp, imgs.astype(jnp.bfloat16))
                 return out_1.astype(jnp.float32)
         else:
-            @jax.jit
-            def fwd(imgs):
+            def feat_part(imgs):
                 out_1, _ = model.apply(variables, imgs, train=False)
                 return out_1
 
-        def encode(patches: np.ndarray):
-            feats = np.asarray(fwd(jnp.asarray(patches)))
-            types = typing_fn(patches) if typing_fn is not None else None
-            return feats, types
-
-        return encode
+        return _wrap(feat_part)
 
     if name == "efficientnet-b4":
         model = EfficientNet.from_name("efficientnet-b4", num_classes=feat_dim)
@@ -179,15 +207,9 @@ def make_cnn_encoder(name: str, config: Dict, hovernet_config: Dict,
                 variables, convert.efficientnet_torch_to_flax(sd)
             )
 
-        @jax.jit
-        def fwd(imgs):
+        def feat_part(imgs):
             return model.apply(variables, imgs, train=False)
 
-        def encode(patches: np.ndarray):
-            feats = np.asarray(fwd(jnp.asarray(patches)))
-            types = typing_fn(patches) if typing_fn is not None else None
-            return feats, types
-
-        return encode
+        return _wrap(feat_part)
 
     raise NotImplementedError(f"encoder {name!r}")

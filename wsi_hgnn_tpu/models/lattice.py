@@ -101,27 +101,43 @@ def lattice_train_transform(g: LatticeGraph, key: jax.Array,
     return g._replace(feats=feats, mask=mask, emask=emask)
 
 
-def _rel_presence(g: LatticeGraph, t: int):
-    """(dst_denom [T], type_present [T]) — batch-level relation presence,
-    matching TypedGraph._presence / dgl cross_reducer='mean' semantics."""
+def _rel_presence(g: LatticeGraph, t: int, per_graph: bool = False):
+    """(dst_denom [B, T], type_present [B, T]) — relation/type occupancy.
+
+    per_graph=False reproduces DGL's semantics on one BATCHED graph
+    (cross_reducer='mean' denominators count relations present anywhere
+    in the batch) — what the reference's batched TRAINING step computes.
+    per_graph=True computes occupancy per slide — what the reference's
+    one-graph-at-a-time EVAL computes (eval_homo_graph.py:75-84), making
+    the forward independent of how slides are grouped into batches (the
+    contract production serving needs). Both return [B, T] so consumers
+    are uniform; batch mode broadcasts one shared row."""
+    b = g.idx.shape[0]
     sty = g.ntypes[:, :, None]                                  # [B,N,1]
     dty = jnp.take_along_axis(
         jnp.repeat(g.ntypes[:, None, :], g.ntypes.shape[1], 1), g.idx, axis=2
     )                                                            # [B,N,k]
-    rel = g.esign * t * t + sty * t + dty
-    counts = jax.ops.segment_sum(
-        g.emask.astype(jnp.int32).reshape(-1), rel.reshape(-1),
-        num_segments=2 * t * t,
-    )
+    rel = g.esign * t * t + sty * t + dty                        # [B,N,k]
+    counts = jax.vmap(
+        lambda r, m: jax.ops.segment_sum(
+            m.astype(jnp.int32).reshape(-1), r.reshape(-1),
+            num_segments=2 * t * t,
+        )
+    )(rel, g.emask)                                              # [B, 2tt]
     present = counts > 0
-    rel_ids = jnp.arange(2 * t * t)
-    dst_denom = jax.ops.segment_sum(
-        present.astype(jnp.float32), rel_ids % t, num_segments=t
-    )
-    node_counts = jax.ops.segment_sum(
-        g.mask.astype(jnp.int32).reshape(-1), g.ntypes.reshape(-1),
-        num_segments=t,
-    )
+    node_counts = jax.vmap(
+        lambda ty, m: jax.ops.segment_sum(
+            m.astype(jnp.int32), ty, num_segments=t
+        )
+    )(g.ntypes, g.mask)                                          # [B, T]
+    if not per_graph:
+        present = jnp.broadcast_to(present.any(0)[None], present.shape)
+        node_counts = jnp.broadcast_to(
+            node_counts.sum(0)[None], node_counts.shape
+        )
+    # rel = esign*t*t + sty*t + dty -> reshaping [2tt] as [2t, t] puts the
+    # DESTINATION type last; dst_denom counts present relations per dst type
+    dst_denom = present.reshape(b, 2 * t, t).sum(1).astype(jnp.float32)
     return dst_denom, node_counts > 0
 
 
@@ -288,11 +304,15 @@ class HEATLayerLattice(nn.Module):
         msg = (attn[..., None] * vv[:, :, None]).reshape(b, n * k, n_h * d_k)
         agg = dst_reduce(msg.astype(adt)).reshape(b * n, self.out_dim)
 
-        # NOTE: the [N]-gathers from [T] vectors below (dst_denom, skip)
+        # NOTE: the [N]-gathers from small vectors below (dst_denom, skip)
         # keep fancy indexing on purpose — replacing them with one-hot
         # matmuls measured no win (12.5-13.3 -> 13.5-14.0 ms/step; their
-        # scatter transposes are tiny, the extra [N, T] operands are not)
-        denom = jnp.maximum(dst_denom, 1.0)[flat_ty][:, None]
+        # scatter transposes are tiny, the extra [N, T] operands are not).
+        # dst_denom is [B, T] (per-graph or broadcast batch occupancy);
+        # take_along_axis picks each node's own graph's row.
+        denom = jnp.take_along_axis(
+            jnp.maximum(dst_denom, 1.0), g.ntypes, axis=1
+        ).reshape(b * n, 1)
         t_agg = agg / denom
         trans = TypedDense(t, self.out_dim, impl=ti, name="a_linears")(
             t_agg, flat_ty, tsort)
@@ -300,7 +320,10 @@ class HEATLayerLattice(nn.Module):
 
         alpha = jax.nn.sigmoid(skip)[flat_ty][:, None]
         mixed = trans * alpha + flat_h * (1.0 - alpha)
-        keep = ((dst_denom > 0)[flat_ty] & g.mask.reshape(-1))[:, None]
+        has_update = jnp.take_along_axis(
+            dst_denom > 0, g.ntypes, axis=1
+        ).reshape(b * n)
+        keep = (has_update & g.mask.reshape(-1))[:, None]
         return jnp.where(keep, mixed, flat_h).reshape(b, n, self.out_dim)
 
 
@@ -342,12 +365,19 @@ class HEATNet4Lattice(nn.Module):
     agg_dtype: str = "float32"
     agg_impl: str = "onehot"
     typed_impl: str = "onehot"
+    # 'batch': occupancy over the whole batched graph (the reference's
+    # batched TRAINING semantics) | 'graph': per-slide occupancy (the
+    # reference's one-at-a-time EVAL semantics; grouping-invariant, used
+    # by the evaluator and production serving)
+    presence: str = "batch"
 
     @nn.compact
     def __call__(self, g: LatticeGraph, train: bool = False) -> jax.Array:
         t = self.n_node_types
         b, n, _ = g.feats.shape
-        dst_denom, type_present = _rel_presence(g, t)
+        dst_denom, type_present = _rel_presence(
+            g, t, per_graph=self.presence == "graph"
+        )
         pres = type_present.astype(g.feats.dtype)
 
         flat_ty = g.ntypes.reshape(-1)
@@ -372,13 +402,13 @@ class HEATNet4Lattice(nn.Module):
 
         pooled = _pool_by_type(g, h, t, self.graph_pooling_type)  # [B, T, hidden]
         out_h = TypedHeads(t, self.embed_dim, name="linears_prediction")(pooled)
-        out_h = out_h * pres[None, :, None]
+        out_h = out_h * pres[:, :, None]
 
         hg = out_h.sum(1)
         gated = []
         for kk in range(t):
             gk = LinearAttentionBlock(name=f"attn_{kk}")(out_h[:, kk], hg)
-            gated.append(gk * pres[kk])
+            gated.append(gk * pres[:, kk : kk + 1])
         cat = jnp.concatenate(gated, axis=1)
         x = nn.Dense(self.embed_dim, name="head_2")(cat)
         x = nn.Dense(64, name="head_1")(x)
@@ -399,12 +429,15 @@ class HEATNet2Lattice(nn.Module):
     agg_dtype: str = "float32"
     agg_impl: str = "onehot"
     typed_impl: str = "onehot"
+    presence: str = "batch"  # see HEATNet4Lattice
 
     @nn.compact
     def __call__(self, g: LatticeGraph, train: bool = False) -> jax.Array:
         t = self.n_node_types
         b, n, _ = g.feats.shape
-        dst_denom, type_present = _rel_presence(g, t)
+        dst_denom, type_present = _rel_presence(
+            g, t, per_graph=self.presence == "graph"
+        )
         pres = type_present.astype(g.feats.dtype)
 
         flat_ty = g.ntypes.reshape(-1)
@@ -429,4 +462,4 @@ class HEATNet2Lattice(nn.Module):
 
         pooled = _pool_by_type(g, h, t, self.graph_pooling_type)
         heads = TypedHeads(t, self.out_dim, name="linears_prediction")(pooled)
-        return (heads * pres[None, :, None]).sum(1)
+        return (heads * pres[:, :, None]).sum(1)

@@ -86,11 +86,19 @@ class SlidePredictor:
         self.lattice_model = parse_lattice_twin(config["GNN"]) if use_lattice else None
         model, is_hetero = self.model, self.is_hetero
 
+        # SERVING SEMANTICS: a response must not depend on which other
+        # requests share its device batch. Hetero models compute
+        # relation/type occupancy, which on one batched graph is
+        # batch-global (the reference's batched-training semantics) —
+        # so serving uses per-slide occupancy, exactly the reference's
+        # one-graph-at-a-time eval (eval_homo_graph.py:75-84): the
+        # lattice twin runs with presence='graph', the TypedGraph path
+        # vmaps the single-slide forward over the group.
         self._predict_lattice = None
         if self.lattice_model is not None:
             from .models.lattice import build_lattice_device
 
-            lat = self.lattice_model
+            lat = self.lattice_model.clone(presence="graph")
 
             @jax.jit
             def _predict_lattice(variables, feats, ntypes, mask):
@@ -107,16 +115,19 @@ class SlidePredictor:
 
         @jax.jit
         def _predict_typed(variables, feats, ntypes, mask):
-            # homogeneous models train on loaded graphs that carry
-            # explicit self-loops (data layer contract, reference
-            # data.py:120-121) — the served graph must match
-            g = build_batch_device(
-                feats, ntypes, mask, self.radius, self.n_node_types,
-                knn_impl=self.knn_impl, add_self_loops=not is_hetero,
-            )
-            g = g if is_hetero else to_homogeneous(g)
-            logits = model.apply(variables, g, train=False)
-            return jax.nn.softmax(logits)
+            def one(f, t, m):
+                # homogeneous models train on loaded graphs that carry
+                # explicit self-loops (data layer contract, reference
+                # data.py:120-121) — the served graph must match
+                g = build_batch_device(
+                    f[None], t[None], m[None], self.radius,
+                    self.n_node_types, knn_impl=self.knn_impl,
+                    add_self_loops=not is_hetero,
+                )
+                g = g if is_hetero else to_homogeneous(g)
+                return model.apply(variables, g, train=False)[0]
+
+            return jax.nn.softmax(jax.vmap(one)(feats, ntypes, mask), -1)
 
         self._predict_typed = _predict_typed
         self._lock = threading.Lock()  # device calls serialized per predictor
@@ -237,10 +248,15 @@ class BatchingServer:
         max_batch: int = 8,
         max_wait_ms: float = 5.0,
         pad_batches: bool = True,
+        max_body_mb: float = 256.0,
     ):
         self.predictor = predictor
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
+        # legitimate slide payloads are ~8 MB; reading an unbounded
+        # client-declared Content-Length into RAM would let one request
+        # OOM the server
+        self.max_body = int(max_body_mb * (1 << 20))
         # pad every device call to max_batch (repeats of the first slide,
         # extra outputs dropped): ONE compiled program per node bucket
         # instead of one per (group size, bucket) — on remote-compile
@@ -292,6 +308,15 @@ class BatchingServer:
                 t0 = time.perf_counter()
                 try:
                     length = int(self.headers.get("Content-Length", 0))
+                except ValueError:
+                    self._reply(400, {"error": "bad Content-Length"})
+                    return
+                if length > server.max_body:
+                    self._reply(413, {
+                        "error": f"body {length} bytes exceeds limit "
+                                 f"{server.max_body}"})
+                    return
+                try:
                     z = np.load(io.BytesIO(self.rfile.read(length)),
                                 allow_pickle=False)
                     feats = np.asarray(z["features"], np.float32)
@@ -449,6 +474,17 @@ class BatchingServer:
                 if r.probs is None and r.error is None:
                     r.error = "server error"
                 r.event.set()
+
+    def warmup(self, n_patches: int, feat_dim: Optional[int] = None) -> None:
+        """Pre-compile the shapes THIS server will dispatch. With the
+        default pad_batches=True every device call uses batch ==
+        max_batch, so predictor.warmup's own default (batch 1) would
+        compile a program the batcher never calls — and on remote-compile
+        platforms the first real request would then cold-compile off the
+        main thread. Call this from the main thread before start()."""
+        self.predictor.warmup(
+            n_patches, feat_dim=feat_dim, batch_sizes=(self.max_batch,)
+        )
 
     def start(self) -> None:
         """Run both loops in background threads (in-process / test use)."""

@@ -34,7 +34,13 @@ def make_eval_fn(model, is_hetero: bool):
 
 def make_lattice_eval_fn(twin):
     """Compiled eval forward on the lattice fast path (twin =
-    config.parse_lattice_twin of the GNN section; same param tree)."""
+    config.parse_lattice_twin of the GNN section; same param tree).
+
+    The twin runs with presence='graph' — per-slide relation/type
+    occupancy, the reference's one-graph-at-a-time eval semantics
+    (eval_homo_graph.py:75-84) — so metrics are independent of how
+    slides are grouped into eval batches."""
+    twin = twin.clone(presence="graph")
 
     @jax.jit
     def fwd(variables, graph):
@@ -174,10 +180,18 @@ class HomoGraphEvaluator:
         if entry is None:
             from ..data.lattice_loader import probe_lattice_and_capacities
 
+            # hetero models on the TypedGraph fallback evaluate ONE slide
+            # per forward: their relation/type occupancy is computed over
+            # the whole batched graph, so any batching would make metrics
+            # depend on slide grouping — the reference evaluates
+            # one-at-a-time for exactly this reason (eval_homo_graph.py:75).
+            # Homo models are grouping-invariant and batch 8. The lattice
+            # path batches too (its twin runs presence='graph').
+            bs = 1 if self.is_hetero else 8
             cap_n, cap_e, probe = probe_lattice_and_capacities(
-                self.test_data, batch_size=8
+                self.test_data, batch_size=bs
             )
-            entry = {"caps": (cap_n, cap_e), "probe": probe}
+            entry = {"caps": (cap_n, cap_e), "probe": probe, "bs": bs}
             self._per_dataset[self.test_data] = entry
         return entry
 
@@ -234,7 +248,8 @@ class HomoGraphEvaluator:
             entry = self._dataset_entry()
             if "loader" not in entry:
                 entry["loader"] = make_eval_loader(
-                    self.test_data, caps=entry["caps"]
+                    self.test_data, batch_size=entry["bs"],
+                    caps=entry["caps"],
                 )
             m = evaluate(
                 self.model, self.variables, self.test_data, self.average,

@@ -407,17 +407,22 @@ class GNNTrainer:
         }
 
     def _split_info(self, split_path: str):
-        """(data, average, (cap_n, cap_e), lattice_probe) — ONE dataset
-        scan per split (probe_lattice_and_capacities), shared by the
-        lattice and TypedGraph eval paths so an irregular split doesn't
-        pay the full-split disk read twice."""
+        """(data, average, eval_bs, (cap_n, cap_e), lattice_probe) — ONE
+        dataset scan per split (probe_lattice_and_capacities), shared by
+        the lattice and TypedGraph eval paths so an irregular split
+        doesn't pay the full-split disk read twice. Hetero models on the
+        TypedGraph fallback evaluate one slide per forward (batch-global
+        occupancy would make metrics grouping-dependent; the reference
+        evaluates one-at-a-time, eval_homo_graph.py:75); homo models and
+        the lattice path (twin presence='graph') batch."""
         if split_path not in self._split_info_cache:
             from ..data.lattice_loader import probe_lattice_and_capacities
 
             data, average = select_dataset(self.config_data, split_path, "eval")
-            cap_n, cap_e, probe = probe_lattice_and_capacities(data, 8)
+            bs = 1 if self.is_hetero else 8
+            cap_n, cap_e, probe = probe_lattice_and_capacities(data, bs)
             self._split_info_cache[split_path] = (
-                data, average, (cap_n, cap_e), probe
+                data, average, bs, (cap_n, cap_e), probe
             )
         return self._split_info_cache[split_path]
 
@@ -430,7 +435,7 @@ class GNNTrainer:
         )
 
         if split_path not in self._lat_eval_splits:
-            data, average, _caps, probe = self._split_info(split_path)
+            data, average, _bs, _caps, probe = self._split_info(split_path)
             entry = None
             if probe is not None:
                 budget = self.config_train.get("lattice_mem_budget", 2 << 30)
@@ -458,9 +463,9 @@ class GNNTrainer:
             if m is not None:
                 return m
         if split_path not in self._eval_splits:
-            data, average, caps, _probe = self._split_info(split_path)
+            data, average, bs, caps, _probe = self._split_info(split_path)
             self._eval_splits[split_path] = (
-                data, average, make_eval_loader(data, caps=caps)
+                data, average, make_eval_loader(data, batch_size=bs, caps=caps)
             )
         data, average, loader = self._eval_splits[split_path]
         return evaluate(

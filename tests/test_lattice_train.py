@@ -391,3 +391,35 @@ def test_probe_edge_cases_fall_back_not_crash():
     assert slide_regular_k(g) is None
 
     assert lattice_batch_for_budget(0, 256) is None
+
+
+def test_stacked_hetero_eval_matches_per_slide_loop(tmp_path):
+    """The stacked (vmapped per-slide) TypedGraph eval path must equal a
+    manual one-slide-at-a-time loop — the reference's eval semantics
+    (eval_homo_graph.py:75-84) — including slides missing node types."""
+    from wsi_hgnn_tpu.train.evaluator import (
+        make_eval_loader,
+        make_stacked_eval_fn,
+    )
+
+    train_list, normal_list = make_regular_cohort(tmp_path, n_slides=5)
+    ds = GraphDataset(train_list, normal_list, "BRCA", "train")
+    model = models.HGT(in_dim=D, hidden_dim=16, out_dim=2, n_layers=2,
+                       n_heads=2, n_node_types=6)
+    g0, _ = ds[0]
+    variables = model.init(jax.random.PRNGKey(0), g0)
+
+    loader = make_eval_loader(ds, batch_size=3, stacked=True)
+    fwd = make_stacked_eval_fn(model, is_hetero=True)
+    got = []
+    for gb, lb, w in loader:
+        p = np.asarray(fwd(variables, gb))
+        got.append(p[w > 0])
+    got = np.concatenate(got)
+
+    want = []
+    for i in range(len(ds)):
+        g, _ = ds[i]
+        logits = model.apply(variables, g, train=False)
+        want.append(np.asarray(jax.nn.softmax(logits))[0])
+    np.testing.assert_allclose(got, np.stack(want), rtol=1e-4, atol=1e-5)

@@ -49,16 +49,19 @@ def main():
         config, radius=args.radius, n_node_types=args.n_node_types,
         knn_impl=args.knn_impl, lattice_mem_budget=args.lattice_mem_budget,
     )
+    if args.warmup:
+        # the batcher pads every device call to max_batch, so one warmup
+        # shape per bucket covers all group sizes. Warm BEFORE binding the
+        # server socket: clients probing during a minutes-long cold
+        # compile should get connection-refused (a clean not-ready
+        # signal), not an accepted connection that never answers.
+        print(f"warmup: compiling batch {args.max_batch} x "
+              f"{args.warmup}-patch slides ...")
+        predictor.warmup(args.warmup, batch_sizes=(args.max_batch,))
     server = BatchingServer(
         predictor, host=args.host, port=args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
     )
-    if args.warmup:
-        # the batcher pads every device call to max_batch, so one warmup
-        # shape per bucket covers all group sizes
-        print(f"warmup: compiling batch {args.max_batch} x "
-              f"{args.warmup}-patch slides ...")
-        server.warmup(args.warmup)
     print(f"serving model v{predictor.version} on "
           f"http://{args.host}:{server.port}  (POST /predict)")
     server.serve_forever()

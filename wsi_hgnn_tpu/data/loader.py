@@ -69,6 +69,7 @@ class GraphLoader:
         bucket_base: int = 1024,
         prefetch: int = 2,
         sort_edges: bool = True,
+        stacked: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -82,6 +83,13 @@ class GraphLoader:
         # dst-keyed segment reduction runs a sorted scatter (host-side,
         # native counting sort; graph.batch.sort_graph_edges)
         self.sort_edges = sort_edges
+        # stacked=True: instead of concatenating the batch into ONE
+        # flat graph (dgl.batch semantics), repad each slide to the
+        # shared PER-SLIDE capacities and stack on a leading axis —
+        # the input form of the vmapped per-slide eval forward
+        # (train.evaluator.make_stacked_eval_fn). node/edge_capacity
+        # are then per-slide, not per-batch.
+        self.stacked = stacked
 
     def __len__(self):
         return (len(self.dataset) + self.batch_size - 1) // self.batch_size
@@ -99,14 +107,25 @@ class GraphLoader:
             graphs.append(graphs[0])
             labels.append(0)
             weights.append(0.0)
-        gb = batch_graphs(
-            graphs,
-            node_capacity=self.node_capacity,
-            edge_capacity=self.edge_capacity,
-            bucket_base=self.bucket_base,
-        )
-        if self.sort_edges:
-            gb = sort_graph_edges(gb)
+        if self.stacked:
+            import jax
+
+            from ..graph.typed_graph import repad_graph
+
+            padded = [
+                repad_graph(g, self.node_capacity, self.edge_capacity)
+                for g in graphs
+            ]
+            gb = jax.tree.map(lambda *xs: np.stack(xs), *padded)
+        else:
+            gb = batch_graphs(
+                graphs,
+                node_capacity=self.node_capacity,
+                edge_capacity=self.edge_capacity,
+                bucket_base=self.bucket_base,
+            )
+            if self.sort_edges:
+                gb = sort_graph_edges(gb)
         return gb, np.asarray(labels, np.int32), np.asarray(weights, np.float32)
 
     def _index_batches(self) -> List[List[int]]:

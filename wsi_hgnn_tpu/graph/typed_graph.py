@@ -270,6 +270,30 @@ def from_arrays(
     )
 
 
+def repad_graph(g: TypedGraph, node_capacity: int,
+                edge_capacity: int) -> TypedGraph:
+    """Re-pad a SINGLE (unbatched) graph to the given capacities.
+
+    Datasets pad each slide to its own size bucket; stacking several
+    slides on a leading batch axis (for a vmapped per-slide forward —
+    see train.evaluator.make_stacked_eval_fn) needs them at one shared
+    capacity. Host-side numpy, like all loader-side packing."""
+    n = int(np.asarray(g.node_mask).sum())
+    e = int(np.asarray(g.edge_mask).sum())
+    return from_arrays(
+        np.asarray(g.feat)[:n],
+        np.asarray(g.src)[:e],
+        np.asarray(g.dst)[:e],
+        node_type=np.asarray(g.node_type)[:n],
+        esign=np.asarray(g.esign)[:e],
+        sim=np.asarray(g.sim)[:e],
+        n_node_types=g.n_node_types,
+        n_edge_types=g.n_edge_types,
+        node_capacity=node_capacity,
+        edge_capacity=edge_capacity,
+    )
+
+
 def to_homogeneous(g: TypedGraph) -> TypedGraph:
     """Forget node/edge typing (keep features, edges, masks).
 

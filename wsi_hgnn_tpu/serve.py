@@ -309,6 +309,10 @@ class BatchingServer:
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                 except ValueError:
+                    length = -1
+                if length < 0:
+                    # negative would make rfile.read() block until EOF,
+                    # hanging the handler thread on a waiting client
                     self._reply(400, {"error": "bad Content-Length"})
                     return
                 if length > server.max_body:

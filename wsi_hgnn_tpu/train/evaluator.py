@@ -32,6 +32,25 @@ def make_eval_fn(model, is_hetero: bool):
     return fwd
 
 
+def make_stacked_eval_fn(model, is_hetero: bool):
+    """Vmapped per-slide eval forward for STACKED batches (GraphLoader
+    stacked=True): each slide computes independently — per-slide
+    relation/type occupancy, the reference's one-graph-at-a-time eval
+    semantics (eval_homo_graph.py:75-84) — while the whole batch stays
+    one compiled program / one dispatch (vs. ~40 ms per dispatch on the
+    TPU relay if slides were evaluated one forward at a time)."""
+
+    @jax.jit
+    def fwd(variables, stacked):
+        def one(g):
+            gg = g if is_hetero else to_homogeneous(g)
+            return model.apply(variables, gg, train=False)[0]
+
+        return jax.nn.softmax(jax.vmap(one)(stacked), -1)
+
+    return fwd
+
+
 def make_lattice_eval_fn(twin):
     """Compiled eval forward on the lattice fast path (twin =
     config.parse_lattice_twin of the GNN section; same param tree).
@@ -71,16 +90,21 @@ def evaluate_lattice(twin, params, loader, average: str, fwd=None
 
 
 def make_eval_loader(dataset, batch_size: int = 8,
-                     caps: tuple | None = None) -> GraphLoader:
+                     caps: tuple | None = None,
+                     stacked: bool = False) -> GraphLoader:
     """Build a fixed-capacity eval loader. Without `caps` this does the
     one-off `dataset_capacities` scan (loads every graph), so callers
     evaluating the same split repeatedly should construct this once and
     pass it in — or supply (cap_n, cap_e) from an earlier fused scan
-    (data.lattice_loader.probe_lattice_and_capacities)."""
-    cap_n, cap_e = caps or dataset_capacities(dataset, batch_size)
+    (data.lattice_loader.probe_lattice_and_capacities). stacked=True
+    pairs with make_stacked_eval_fn (per-slide capacities, leading
+    batch axis)."""
+    cap_n, cap_e = caps or dataset_capacities(
+        dataset, 1 if stacked else batch_size
+    )
     return GraphLoader(
         dataset, batch_size, shuffle=False,
-        node_capacity=cap_n, edge_capacity=cap_e,
+        node_capacity=cap_n, edge_capacity=cap_e, stacked=stacked,
     )
 
 
@@ -97,10 +121,14 @@ def evaluate(
     """Run the full dataset through the model; reference metric pack."""
     if not variables.get("batch_stats"):
         variables = {"params": variables["params"]}
+    # hetero default: stacked batches + vmapped per-slide forward (the
+    # reference's one-at-a-time eval semantics at full device batching);
+    # homo models are grouping-invariant and flat-batch
     if fwd is None:
-        fwd = make_eval_fn(model, is_hetero)
+        fwd = (make_stacked_eval_fn(model, is_hetero) if is_hetero
+               else make_eval_fn(model, is_hetero))
     if loader is None:
-        loader = make_eval_loader(dataset, batch_size)
+        loader = make_eval_loader(dataset, batch_size, stacked=is_hetero)
     probs, labels = [], []
     for gb, lb, w in loader:
         p = np.asarray(fwd(variables, gb))
@@ -180,18 +208,21 @@ class HomoGraphEvaluator:
         if entry is None:
             from ..data.lattice_loader import probe_lattice_and_capacities
 
-            # hetero models on the TypedGraph fallback evaluate ONE slide
-            # per forward: their relation/type occupancy is computed over
-            # the whole batched graph, so any batching would make metrics
-            # depend on slide grouping — the reference evaluates
-            # one-at-a-time for exactly this reason (eval_homo_graph.py:75).
-            # Homo models are grouping-invariant and batch 8. The lattice
-            # path batches too (its twin runs presence='graph').
-            bs = 1 if self.is_hetero else 8
+            # hetero models on the TypedGraph fallback run each slide
+            # INDEPENDENTLY (their relation/type occupancy is computed
+            # over the whole batched graph, so flat batching would make
+            # metrics depend on slide grouping; the reference evaluates
+            # one-at-a-time for exactly this reason, eval_homo_graph.py:75)
+            # — but still 8 per device dispatch, via a STACKED batch and a
+            # vmapped forward (per-slide capacities, batch_size=1 scan).
+            # Homo models are grouping-invariant and flat-batch 8. The
+            # lattice path batches too (its twin runs presence='graph').
+            stacked = self.is_hetero
             cap_n, cap_e, probe = probe_lattice_and_capacities(
-                self.test_data, batch_size=bs
+                self.test_data, batch_size=1 if stacked else 8
             )
-            entry = {"caps": (cap_n, cap_e), "probe": probe, "bs": bs}
+            entry = {"caps": (cap_n, cap_e), "probe": probe,
+                     "stacked": stacked}
             self._per_dataset[self.test_data] = entry
         return entry
 
@@ -240,16 +271,20 @@ class HomoGraphEvaluator:
         # eval() calls (e.g. test then val, every epoch) don't rescan the
         # dataset or recompile (VERDICT.md round-1 weak #3)
         if not hasattr(self, "_fwd"):
-            self._fwd = make_eval_fn(self.model, self.is_hetero)
+            self._fwd = (make_stacked_eval_fn(self.model, self.is_hetero)
+                         if self.is_hetero
+                         else make_eval_fn(self.model, self.is_hetero))
         lat = self._lattice_entry()
         if lat is not None:
             m = self._eval_lattice(*lat)
         else:
             entry = self._dataset_entry()
             if "loader" not in entry:
-                entry["loader"] = make_eval_loader(
-                    self.test_data, batch_size=entry["bs"],
-                    caps=entry["caps"],
+                cap_n, cap_e = entry["caps"]
+                entry["loader"] = GraphLoader(
+                    self.test_data, 8, shuffle=False,
+                    node_capacity=cap_n, edge_capacity=cap_e,
+                    stacked=entry["stacked"],
                 )
             m = evaluate(
                 self.model, self.variables, self.test_data, self.average,

@@ -37,6 +37,7 @@ from .evaluator import (
     evaluate,
     make_eval_fn,
     make_eval_loader,
+    make_stacked_eval_fn,
 )
 from .metrics import accuracy, metrics
 from ..profiling import GLOBAL_TIMER
@@ -200,7 +201,10 @@ class GNNTrainer:
         # reference reloads the checkpoint and rescans the split per epoch
         # (train_gnn.py:111-115); round 1 replaced the checkpoint reload but
         # still rescanned (VERDICT.md weak #3)
-        self._eval_fwd = make_eval_fn(self.model, self.is_hetero)
+        self._eval_fwd = (
+            make_stacked_eval_fn(self.model, self.is_hetero)
+            if self.is_hetero else make_eval_fn(self.model, self.is_hetero)
+        )
         self._eval_splits: Dict[str, tuple] = {}
 
     # ------------------------------------------------------------------ #
@@ -419,10 +423,12 @@ class GNNTrainer:
             from ..data.lattice_loader import probe_lattice_and_capacities
 
             data, average = select_dataset(self.config_data, split_path, "eval")
-            bs = 1 if self.is_hetero else 8
-            cap_n, cap_e, probe = probe_lattice_and_capacities(data, bs)
+            stacked = self.is_hetero
+            cap_n, cap_e, probe = probe_lattice_and_capacities(
+                data, 1 if stacked else 8
+            )
             self._split_info_cache[split_path] = (
-                data, average, bs, (cap_n, cap_e), probe
+                data, average, stacked, (cap_n, cap_e), probe
             )
         return self._split_info_cache[split_path]
 
@@ -435,7 +441,7 @@ class GNNTrainer:
         )
 
         if split_path not in self._lat_eval_splits:
-            data, average, _bs, _caps, probe = self._split_info(split_path)
+            data, average, _stacked, _caps, probe = self._split_info(split_path)
             entry = None
             if probe is not None:
                 budget = self.config_train.get("lattice_mem_budget", 2 << 30)
@@ -463,9 +469,10 @@ class GNNTrainer:
             if m is not None:
                 return m
         if split_path not in self._eval_splits:
-            data, average, bs, caps, _probe = self._split_info(split_path)
+            data, average, stacked, caps, _probe = self._split_info(split_path)
             self._eval_splits[split_path] = (
-                data, average, make_eval_loader(data, batch_size=bs, caps=caps)
+                data, average,
+                make_eval_loader(data, caps=caps, stacked=stacked),
             )
         data, average, loader = self._eval_splits[split_path]
         return evaluate(

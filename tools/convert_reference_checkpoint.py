@@ -1,0 +1,241 @@
+"""Convert a reference TRAINED MODEL checkpoint into this framework.
+
+The reference saves `model_v{N}.pt` — a raw torch `state_dict()` of its
+DGL model (/root/reference/checkpoint.py:72-82) — under the versioned
+checkpoint dir. This tool maps those weights onto the IDENTICALLY-SHAPED
+flax param trees of this framework's models, so a user migrating from the
+reference can serve (`tools/serve.py`) and evaluate (`main.py -mode eval`)
+their already-trained models without retraining. Completes the AUC-parity
+runbook (README): graphs convert via tools/convert_reference_graphs.py,
+model weights convert here.
+
+Supported models (the reference parser's buildable hetero+homo set):
+HEAT2 / HEAT4 / HGT / HetRGCN / GCN. Naming + layout facts encoded below:
+
+  * torch nn.Linear stores weight [out, in]; flax Dense kernel is
+    [in, out] — every Linear transposes (convert.linear_w).
+  * per-node-type nn.ModuleList linears (`adapt_ws.{t}`,
+    `gcs.{i}.k_linears.{t}`, /root/reference/models/HGT.py:44-55,
+    HEATNet4.py:68-83,151-163) stack into TypedDense kernels [T, in, out].
+  * per-ntype ModuleDicts are keyed by str(type) (parser.py:112,117).
+  * canonical relation enumeration is `for r in config.edge_types
+    for s in range(T) for t in range(T)` (parser.py:106-113), while this
+    framework fixes rel = esign*T*T + s*T + t with esign pos=1/neg=0 —
+    relation-indexed tensors permute their edge-type blocks according to
+    the config's edge_types order (e.g. ["pos", "neg"]).
+  * DGL GraphConv stores weight [in, out] (no transpose) + bias
+    (reference GCN.py:30-33); this framework's GraphConvLayer holds the
+    same as `weight/kernel` + outer `bias`, with the internal Dense bias
+    zeroed.
+  * LinearAttentionBlock's op is Conv1d(C, 1, 1, bias=False) — weight
+    [1, C, 1] -> kernel [C, 1] (HEATNet4.py:20-42).
+  * unused reference params (GCN's extra linears_prediction.{n_layers},
+    GCN.py:40-46 vs forward :68-77; HGT's `out` Linear, HGT.py:150) are
+    dropped.
+
+Usage:
+  python tools/convert_reference_checkpoint.py \
+      -config configs/BRCA/HEAT4_kimia_classification_v2.yml \
+      --in /path/to/reference_ckpt/1/model_v42.pt \
+      --out /path/to/new_ckpt_dir     # default: the config's checkpoint.path
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from wsi_hgnn_tpu.models.featurizers.convert import (  # noqa: E402
+    linear_w,
+    load_torch_state_dict,
+    strip_dataparallel,
+)
+
+
+def _lin(sd: Dict, prefix: str):
+    """torch Linear -> (kernel [in, out], bias [out])."""
+    w = np.asarray(sd[f"{prefix}.weight"], np.float32)
+    b = np.asarray(sd[f"{prefix}.bias"], np.float32)
+    return linear_w(w), b
+
+
+def _typed(sd: Dict, fmt: str, n_types: int) -> Dict[str, np.ndarray]:
+    """Per-type torch Linears -> TypedDense {kernel [T,in,out], bias [T,out]}."""
+    ks, bs = zip(*(_lin(sd, fmt.format(t=t)) for t in range(n_types)))
+    return {"kernel": np.stack(ks), "bias": np.stack(bs)}
+
+
+def _rel_perm(edge_types: Sequence[str], n_types: int) -> np.ndarray:
+    """Index map our_rel -> reference_rel for [R]-leading tensors.
+
+    ours:      rel = esign*T*T + s*T + t   (esign: neg=0, pos=1)
+    reference: rel = r_idx*T*T + s*T + t   (r_idx = position in edge_types)
+    """
+    sign_of = {"neg": 0, "pos": 1}
+    r_idx_of_sign = {sign_of[r]: i for i, r in enumerate(edge_types)}
+    tt = n_types * n_types
+    perm = np.empty(2 * tt, np.int64)
+    for esign in (0, 1):
+        base = esign * tt
+        ref_base = r_idx_of_sign[esign] * tt
+        perm[base : base + tt] = np.arange(ref_base, ref_base + tt)
+    return perm
+
+
+def convert_heat(sd: Dict, n_layers: int, n_types: int,
+                 heat4: bool) -> Dict:
+    """HEATNet2/HEATNet4 (reference models/HEATNet2.py, HEATNet4.py:140-193)."""
+    params: Dict = {"adapt_ws": _typed(sd, "adapt_ws.{t}", n_types)}
+    for i in range(n_layers):
+        layer = {
+            name: _typed(sd, f"gcs.{i}.{name}.{{t}}", n_types)
+            for name in ("k_linears", "q_linears", "v_linears", "a_linears")
+        }
+        ek, eb = _lin(sd, f"gcs.{i}.e_linear")
+        layer["e_linear"] = {"kernel": ek, "bias": eb}
+        layer["skip"] = np.asarray(sd[f"gcs.{i}.skip"], np.float32)
+        params[f"gcs_{i}"] = layer
+    params["linears_prediction"] = _typed(
+        sd, "linears_prediction.{t}", n_types
+    )
+    if heat4:
+        for t in range(n_types):
+            w = np.asarray(sd[f"attn.{t}.op.weight"], np.float32)  # [1, C, 1]
+            params[f"attn_{t}"] = {"op": {"kernel": w[0]}}
+        for head in ("head_2", "head_1", "head"):
+            k, b = _lin(sd, head)
+            params[head] = {"kernel": k, "bias": b}
+    return params
+
+
+def convert_hgt(sd: Dict, n_layers: int, n_types: int,
+                edge_types: Sequence[str]) -> Dict:
+    """HGT (reference models/HGT.py:21-156)."""
+    perm = _rel_perm(edge_types, n_types)
+    params: Dict = {"adapt_ws": _typed(sd, "adapt_ws.{t}", n_types)}
+    for i in range(n_layers):
+        layer = {
+            name: _typed(sd, f"gcs.{i}.{name}.{{t}}", n_types)
+            for name in ("k_linears", "q_linears", "v_linears", "a_linears")
+        }
+        layer["norms"] = {
+            "scale": np.stack([
+                np.asarray(sd[f"gcs.{i}.norms.{t}.weight"], np.float32)
+                for t in range(n_types)
+            ]),
+            "bias": np.stack([
+                np.asarray(sd[f"gcs.{i}.norms.{t}.bias"], np.float32)
+                for t in range(n_types)
+            ]),
+        }
+        for rel_name in ("relation_att", "relation_msg", "relation_pri"):
+            layer[rel_name] = np.asarray(
+                sd[f"gcs.{i}.{rel_name}"], np.float32
+            )[perm]
+        layer["skip"] = np.asarray(sd[f"gcs.{i}.skip"], np.float32)
+        params[f"gcs_{i}"] = layer
+    # per-layer per-ntype readout heads: linears_prediction.{t}.{layer}
+    # (ModuleDict of ModuleLists, HGT.py:141-156)
+    for i in range(n_layers):
+        params[f"pred_{i}"] = _typed(
+            sd, f"linears_prediction.{{t}}.{i}", n_types
+        )
+    return params
+
+
+def convert_hetrgcn(sd: Dict, n_layers: int, n_types: int,
+                    edge_types: Sequence[str]) -> Dict:
+    """HetRGCN (reference models/HetRGCN.py:13-125; relation Linears are a
+    ModuleDict keyed by str(canonical index), parser.py:103-122)."""
+    perm = _rel_perm(edge_types, n_types)
+    params: Dict = {"adapt_ws": _typed(sd, "adapt_ws.{t}", n_types)}
+    n_rel = 2 * n_types * n_types
+    for i in range(n_layers):
+        ks, bs = [], []
+        for our_rel in range(n_rel):
+            k, b = _lin(sd, f"layers.{i}.weight.{int(perm[our_rel])}")
+            ks.append(k)
+            bs.append(b)
+        params[f"layer_{i}"] = {"kernel": np.stack(ks), "bias": np.stack(bs)}
+    for i in range(n_layers):
+        params[f"pred_{i}"] = _typed(
+            sd, f"linears_prediction.{{t}}.{i}", n_types
+        )
+    return params
+
+
+def convert_gcn(sd: Dict, n_layers: int) -> Dict:
+    """GCN (reference models/GCN.py:15-79; DGL GraphConv weight [in, out])."""
+    params: Dict = {}
+    for i in range(n_layers):
+        w = np.asarray(sd[f"layers.{i}.weight"], np.float32)  # [in, out]
+        b = np.asarray(sd[f"layers.{i}.bias"], np.float32)
+        params[f"conv_{i}"] = {
+            "weight": {"kernel": w, "bias": np.zeros(w.shape[1], np.float32)},
+            "bias": b,
+        }
+    # linears_prediction.{n_layers} exists in the reference state dict but
+    # its forward never uses it (GCN.py:68-77) — dropped
+    for i in range(n_layers):
+        k, b = _lin(sd, f"linears_prediction.{i}")
+        params[f"pred_{i}"] = {"kernel": k, "bias": b}
+    k, b = _lin(sd, "classify")
+    params["classify"] = {"kernel": k, "bias": b}
+    return params
+
+
+def convert_gnn_state_dict(config_gnn: Dict, sd: Dict) -> Dict:
+    """Reference torch state dict -> this framework's flax params for the
+    model named by the GNN config section."""
+    sd = strip_dataparallel(sd)
+    name = config_gnn["name"]
+    n_types = int(config_gnn.get("n_node_types", 6))
+    n_layers = int(config_gnn["num_layers"])
+    edge_types = list(config_gnn.get("edge_types", ["pos", "neg"]))
+    if name in ("HEAT2", "HEAT4"):
+        return convert_heat(sd, n_layers, n_types, heat4=name == "HEAT4")
+    if name == "HGT":
+        return convert_hgt(sd, n_layers, n_types, edge_types)
+    if name == "HetRGCN":
+        return convert_hetrgcn(sd, n_layers, n_types, edge_types)
+    if name == "GCN":
+        return convert_gcn(sd, n_layers)
+    raise NotImplementedError(
+        f"checkpoint conversion not implemented for {name!r}"
+    )
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-config", required=True, help="training YAML")
+    p.add_argument("--in", dest="inp", required=True,
+                   help="reference model_v{N}.pt (torch state dict)")
+    p.add_argument("--out", default="",
+                   help="output checkpoint dir (default: config checkpoint.path)")
+    args = p.parse_args()
+
+    from wsi_hgnn_tpu.config import load_config, parse_gnn_model
+    from wsi_hgnn_tpu.train.checkpoint import CheckpointManager
+
+    config = load_config(args.config)
+    sd = load_torch_state_dict(args.inp)
+    params = convert_gnn_state_dict(config["GNN"], sd)
+
+    # sanity: the converted tree must load into the parsed model
+    parse_gnn_model(config["GNN"])
+
+    out = args.out or config["checkpoint"]["path"]
+    cm = CheckpointManager(out)
+    cm.write_new_version(
+        config, {"params": params, "batch_stats": {}}, {"Epoch": 1}
+    )
+    print(f"wrote converted checkpoint v{cm.version} to {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -89,7 +89,7 @@ def test_heat_round_trip(which):
 
     cfg = {"name": which, "n_node_types": T, "num_layers": 2,
            "edge_types": EDGE_TYPES}
-    got = convert_gnn_state_dict(cfg, sd)
+    got = convert_gnn_state_dict(cfg, sd)["params"]
     assert_trees_equal(got, params)
 
 
@@ -116,7 +116,7 @@ def test_hgt_round_trip():
 
     cfg = {"name": "HGT", "n_node_types": T, "num_layers": 2,
            "edge_types": EDGE_TYPES}
-    got = convert_gnn_state_dict(cfg, sd)
+    got = convert_gnn_state_dict(cfg, sd)["params"]
     assert_trees_equal(got, params)
 
 
@@ -140,7 +140,7 @@ def test_hetrgcn_round_trip():
 
     cfg = {"name": "HetRGCN", "n_node_types": T, "num_layers": 2,
            "edge_types": EDGE_TYPES}
-    got = convert_gnn_state_dict(cfg, sd)
+    got = convert_gnn_state_dict(cfg, sd)["params"]
     assert_trees_equal(got, params)
 
 
@@ -166,7 +166,7 @@ def test_gcn_round_trip_and_unused_params_dropped():
     lin_to_sd(sd, "classify", params["classify"])
 
     cfg = {"name": "GCN", "num_layers": 2}
-    got = convert_gnn_state_dict(cfg, sd)
+    got = convert_gnn_state_dict(cfg, sd)["params"]
     assert_trees_equal(got, params)
 
 
@@ -206,8 +206,7 @@ checkpoint:
 """)
     converted = convert_gnn_state_dict(cfg["GNN"], sd)
     cm = CheckpointManager(str(tmp_path / "ckpt"))
-    cm.write_new_version(cfg, {"params": converted, "batch_stats": {}},
-                         {"Epoch": 1})
+    cm.write_new_version(cfg, converted, {"Epoch": 1})
 
     pred = SlidePredictor(cfg, radius=4, n_node_types=T)
     rng = np.random.RandomState(5)
@@ -216,3 +215,104 @@ checkpoint:
     assert probs.shape == (2,) and np.isfinite(probs).all()
     # and the converted weights equal the originals through the round trip
     assert_trees_equal(pred.variables["params"], params)
+
+
+def test_gat_round_trip():
+    from wsi_hgnn_tpu.config import parse_gnn_model
+
+    model, _ = parse_gnn_model({
+        "name": "GAT", "in_dim": D, "hidden_dim": H, "out_dim": 2,
+        "num_layers": 2, "num_heads": 2, "num_out_heads": 1,
+        "feat_drop": 0.0, "attn_drop": 0.0, "negative_slope": 0.2,
+        "residual": False, "graph_pooling_type": "mean",
+    })
+    params = model.init(jax.random.PRNGKey(5), to_homogeneous(graph()))["params"]
+
+    sd = {}
+    for i in range(3):
+        layer = params[f"gat_{i}"]
+        sd[f"layers.{i}.fc.weight"] = np.asarray(layer["fc"]["kernel"]).T
+        sd[f"layers.{i}.attn_l"] = np.asarray(layer["attn_l"])
+        sd[f"layers.{i}.attn_r"] = np.asarray(layer["attn_r"])
+        sd[f"layers.{i}.bias"] = np.asarray(layer["bias"]).reshape(-1)
+        lin_to_sd(sd, f"linears_prediction.{i}", params[f"pred_{i}"])
+
+    got = convert_gnn_state_dict({"name": "GAT", "num_layers": 2}, sd)["params"]
+    assert_trees_equal(got, params)
+
+
+def test_gin_round_trip_with_batch_stats():
+    from wsi_hgnn_tpu.config import parse_gnn_model
+
+    model, _ = parse_gnn_model({
+        "name": "GIN", "in_dim": D, "hidden_dim": H, "out_dim": 2,
+        "num_layers": 2, "num_mlp_layers": 2, "feat_drop": 0.0,
+        "graph_pooling_type": "sum", "neighbor_pooling_type": "sum",
+        "learn_eps": False,
+    })
+    variables = model.init(jax.random.PRNGKey(6), to_homogeneous(graph()))
+    params = jax.tree.map(np.asarray, variables["params"])
+    rng = np.random.RandomState(0)
+    # synthesize non-trivial running stats (init vars are 0-mean/1-var)
+    stats = jax.tree.map(
+        lambda a: rng.rand(*np.shape(a)).astype(np.float32) + 0.5,
+        jax.tree.map(np.asarray, variables["batch_stats"]),
+    )
+
+    sd = {}
+    gin = params["gin_0"]
+    for j in range(2):
+        lin_to_sd(sd, f"layers.0.apply_func.mlp.linears.{j}",
+                  gin["mlp"][f"linears_{j}"])
+    for prefix, p, st in [
+        ("layers.0.apply_func.mlp.batch_norms.0", gin["mlp"]["bn_0"],
+         stats["gin_0"]["mlp"]["bn_0"]),
+        ("layers.0.apply_func.bn", gin["bn"], stats["gin_0"]["bn"]),
+    ]:
+        sd[prefix + ".weight"] = np.asarray(p["scale"])
+        sd[prefix + ".bias"] = np.asarray(p["bias"])
+        sd[prefix + ".running_mean"] = np.asarray(st["mean"])
+        sd[prefix + ".running_var"] = np.asarray(st["var"])
+    sd["layers.0.eps"] = np.float32(np.asarray(gin["eps"]))
+    lin_to_sd(sd, "linears_prediction.0", params["pred_0"])
+    # unused extra head (GIN.py:53-60 vs forward :83-89) must be ignored
+    sd["linears_prediction.1.weight"] = np.zeros((2, H), np.float32)
+    sd["linears_prediction.1.bias"] = np.zeros(2, np.float32)
+    lin_to_sd(sd, "classify", params["classify"])
+
+    got = convert_gnn_state_dict(
+        {"name": "GIN", "num_layers": 2, "num_mlp_layers": 2}, sd)
+    assert_trees_equal(got["params"], params)
+    assert_trees_equal(got["batch_stats"], stats)
+
+
+def test_ntpool_round_trip():
+    from wsi_hgnn_tpu.config import parse_gnn_model
+
+    model, _ = parse_gnn_model({
+        "name": "GCN_NTPool", "in_dim": D, "hidden_dim": H, "out_dim": 2,
+        "num_layers": 2, "n_node_types": T, "feat_drop": 0.0,
+        "graph_pooling_type": "mean",
+    })
+    params = jax.tree.map(
+        np.asarray, model.init(jax.random.PRNGKey(7), graph())["params"])
+    for i in range(2):  # DGL GraphConv has one bias; internal Dense bias -> 0
+        params[f"conv_{i}"]["weight"]["bias"] = np.zeros(
+            params[f"conv_{i}"]["weight"]["bias"].shape, np.float32)
+
+    sd = {}
+    for i in range(2):
+        sd[f"layers.{i}.weight"] = np.asarray(params[f"conv_{i}"]["weight"]["kernel"])
+        sd[f"layers.{i}.bias"] = np.asarray(params[f"conv_{i}"]["bias"])
+        for t in range(T):
+            sd[f"linears_prediction.{t}.{i}.weight"] = (
+                np.asarray(params[f"pred_{i}_kernel"][t]).T)
+            sd[f"linears_prediction.{t}.{i}.bias"] = (
+                np.asarray(params[f"pred_{i}_bias"][t]))
+    # unused classify head dropped
+    sd["classify.weight"] = np.zeros((2, H), np.float32)
+    sd["classify.bias"] = np.zeros(2, np.float32)
+
+    got = convert_gnn_state_dict(
+        {"name": "GCN_NTPool", "num_layers": 2, "n_node_types": T}, sd)["params"]
+    assert_trees_equal(got, params)

@@ -9,8 +9,9 @@ their already-trained models without retraining. Completes the AUC-parity
 runbook (README): graphs convert via tools/convert_reference_graphs.py,
 model weights convert here.
 
-Supported models (the reference parser's buildable hetero+homo set):
-HEAT2 / HEAT4 / HGT / HetRGCN / GCN. Naming + layout facts encoded below:
+Supported models — the reference parser's ENTIRE buildable set
+(parser.py:48-174): HEAT2 / HEAT4 / HGT / HetRGCN / GCN / GAT / GIN /
+GCN_NTPool. Naming + layout facts encoded below:
 
   * torch nn.Linear stores weight [out, in]; flax Dense kernel is
     [in, out] — every Linear transposes (convert.linear_w).
@@ -29,9 +30,17 @@ HEAT2 / HEAT4 / HGT / HetRGCN / GCN. Naming + layout facts encoded below:
     zeroed.
   * LinearAttentionBlock's op is Conv1d(C, 1, 1, bias=False) — weight
     [1, C, 1] -> kernel [C, 1] (HEATNet4.py:20-42).
-  * unused reference params (GCN's extra linears_prediction.{n_layers},
-    GCN.py:40-46 vs forward :68-77; HGT's `out` Linear, HGT.py:150) are
-    dropped.
+  * DGL GATConv: fc.weight [heads*out, in] (transpose), attn_l/attn_r
+    [1, heads, out] (direct), bias [heads*out] -> [heads, out]
+    (parser.py:52-55 builds heads = [num_heads]*n + [num_out_heads],
+    residual hard-coded False).
+  * DGL GINConv: `layers.{i}.eps` scalar + ApplyNodeFunc
+    (`apply_func.mlp.linears.{j}`, `apply_func.mlp.batch_norms.{j}`,
+    `apply_func.bn`, GIN.py:11-62); BatchNorm running_mean/var land in
+    the flax `batch_stats` collection, weight/bias in params.
+  * unused reference params (GCN/GIN/NTPool's extra
+    linears_prediction.{n_layers}, GCN.py:40-46 vs forward :68-77;
+    HGT's `out` Linear, HGT.py:150; NTPool's `classify`) are dropped.
 
 Usage:
   python tools/convert_reference_checkpoint.py \
@@ -189,25 +198,118 @@ def convert_gcn(sd: Dict, n_layers: int) -> Dict:
     return params
 
 
+def _bn(sd: Dict, prefix: str):
+    """torch BatchNorm1d -> (params {scale, bias}, stats {mean, var})."""
+    return (
+        {"scale": np.asarray(sd[f"{prefix}.weight"], np.float32),
+         "bias": np.asarray(sd[f"{prefix}.bias"], np.float32)},
+        {"mean": np.asarray(sd[f"{prefix}.running_mean"], np.float32),
+         "var": np.asarray(sd[f"{prefix}.running_var"], np.float32)},
+    )
+
+
+def convert_gat(sd: Dict, n_layers: int) -> Dict:
+    """GAT (reference models/GAT.py:18-93; DGL GATConv layouts above)."""
+    params: Dict = {}
+    for i in range(n_layers + 1):
+        fc = np.asarray(sd[f"layers.{i}.fc.weight"], np.float32)  # [H*out, in]
+        attn_l = np.asarray(sd[f"layers.{i}.attn_l"], np.float32)
+        attn_r = np.asarray(sd[f"layers.{i}.attn_r"], np.float32)
+        heads, out = attn_l.shape[1], attn_l.shape[2]
+        bias = np.asarray(sd[f"layers.{i}.bias"], np.float32).reshape(heads, out)
+        params[f"gat_{i}"] = {
+            "fc": {"kernel": fc.T},
+            "attn_l": attn_l, "attn_r": attn_r, "bias": bias,
+        }
+    for i in range(n_layers + 1):
+        k, b = _lin(sd, f"linears_prediction.{i}")
+        params[f"pred_{i}"] = {"kernel": k, "bias": b}
+    return params
+
+
+def convert_gin(sd: Dict, n_layers: int, num_mlp_layers: int):
+    """GIN (reference models/GIN.py:76-177). Returns (params, batch_stats)
+    — BatchNorm running statistics live in the flax batch_stats collection
+    and matter at eval time."""
+    params: Dict = {}
+    stats: Dict = {}
+    for i in range(n_layers - 1):
+        ref = f"layers.{i}.apply_func"
+        mlp_p: Dict = {}
+        mlp_s: Dict = {}
+        for j in range(num_mlp_layers):
+            k, b = _lin(sd, f"{ref}.mlp.linears.{j}")
+            mlp_p[f"linears_{j}"] = {"kernel": k, "bias": b}
+        for j in range(num_mlp_layers - 1):
+            p, st = _bn(sd, f"{ref}.mlp.batch_norms.{j}")
+            mlp_p[f"bn_{j}"] = p
+            mlp_s[f"bn_{j}"] = st
+        bn_p, bn_s = _bn(sd, f"{ref}.bn")
+        params[f"gin_{i}"] = {
+            "mlp": mlp_p, "bn": bn_p,
+            "eps": np.float32(np.asarray(sd[f"layers.{i}.eps"])).reshape(()),
+        }
+        stats[f"gin_{i}"] = {"mlp": mlp_s, "bn": bn_s}
+    # linears_prediction has num_layers entries but the forward uses only
+    # the first num_layers-1 + classify (GIN.py:83-89) — extras dropped
+    for i in range(n_layers - 1):
+        k, b = _lin(sd, f"linears_prediction.{i}")
+        params[f"pred_{i}"] = {"kernel": k, "bias": b}
+    k, b = _lin(sd, "classify")
+    params["classify"] = {"kernel": k, "bias": b}
+    return params, stats
+
+
+def convert_ntpool(sd: Dict, n_layers: int, n_types: int) -> Dict:
+    """NTPoolGCN (reference models/GCN_NTPool.py:16-123): GraphConv stack
+    + per-(layer, ntype) readout heads as FLAT stacked params."""
+    params: Dict = {}
+    for i in range(n_layers):
+        w = np.asarray(sd[f"layers.{i}.weight"], np.float32)  # [in, out]
+        b = np.asarray(sd[f"layers.{i}.bias"], np.float32)
+        params[f"conv_{i}"] = {
+            "weight": {"kernel": w, "bias": np.zeros(w.shape[1], np.float32)},
+            "bias": b,
+        }
+    for i in range(n_layers):
+        ks, bs = zip(*(
+            _lin(sd, f"linears_prediction.{t}.{i}") for t in range(n_types)
+        ))
+        params[f"pred_{i}_kernel"] = np.stack(ks)
+        params[f"pred_{i}_bias"] = np.stack(bs)
+    return params
+
+
 def convert_gnn_state_dict(config_gnn: Dict, sd: Dict) -> Dict:
-    """Reference torch state dict -> this framework's flax params for the
-    model named by the GNN config section."""
+    """Reference torch state dict -> {'params': ..., 'batch_stats': ...}
+    for the model named by the GNN config section."""
     sd = strip_dataparallel(sd)
     name = config_gnn["name"]
     n_types = int(config_gnn.get("n_node_types", 6))
     n_layers = int(config_gnn["num_layers"])
     edge_types = list(config_gnn.get("edge_types", ["pos", "neg"]))
+    stats: Dict = {}
     if name in ("HEAT2", "HEAT4"):
-        return convert_heat(sd, n_layers, n_types, heat4=name == "HEAT4")
-    if name == "HGT":
-        return convert_hgt(sd, n_layers, n_types, edge_types)
-    if name == "HetRGCN":
-        return convert_hetrgcn(sd, n_layers, n_types, edge_types)
-    if name == "GCN":
-        return convert_gcn(sd, n_layers)
-    raise NotImplementedError(
-        f"checkpoint conversion not implemented for {name!r}"
-    )
+        params = convert_heat(sd, n_layers, n_types, heat4=name == "HEAT4")
+    elif name == "HGT":
+        params = convert_hgt(sd, n_layers, n_types, edge_types)
+    elif name == "HetRGCN":
+        params = convert_hetrgcn(sd, n_layers, n_types, edge_types)
+    elif name == "GCN":
+        params = convert_gcn(sd, n_layers)
+    elif name == "GAT":
+        params = convert_gat(sd, n_layers)
+    elif name == "GIN":
+        params, stats = convert_gin(
+            sd, n_layers, int(config_gnn["num_mlp_layers"])
+        )
+    elif name == "GCN_NTPool":
+        params = convert_ntpool(sd, n_layers, n_types)
+    else:
+        raise NotImplementedError(
+            f"checkpoint conversion not implemented for {name!r}"
+        )
+    return {"params": params, "batch_stats": stats}
 
 
 def main():
@@ -224,16 +326,14 @@ def main():
 
     config = load_config(args.config)
     sd = load_torch_state_dict(args.inp)
-    params = convert_gnn_state_dict(config["GNN"], sd)
+    state = convert_gnn_state_dict(config["GNN"], sd)
 
     # sanity: the converted tree must load into the parsed model
     parse_gnn_model(config["GNN"])
 
     out = args.out or config["checkpoint"]["path"]
     cm = CheckpointManager(out)
-    cm.write_new_version(
-        config, {"params": params, "batch_stats": {}}, {"Epoch": 1}
-    )
+    cm.write_new_version(config, state, {"Epoch": 1})
     print(f"wrote converted checkpoint v{cm.version} to {out}")
 
 

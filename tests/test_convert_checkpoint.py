@@ -165,7 +165,7 @@ def test_gcn_round_trip_and_unused_params_dropped():
     sd["linears_prediction.2.bias"] = np.zeros(2, np.float32)
     lin_to_sd(sd, "classify", params["classify"])
 
-    cfg = {"name": "GCN", "num_layers": 2}
+    cfg = {"name": "GCN", "num_layers": 2, "graph_pooling_type": "mean"}
     got = convert_gnn_state_dict(cfg, sd)["params"]
     assert_trees_equal(got, params)
 
@@ -237,7 +237,9 @@ def test_gat_round_trip():
         sd[f"layers.{i}.bias"] = np.asarray(layer["bias"]).reshape(-1)
         lin_to_sd(sd, f"linears_prediction.{i}", params[f"pred_{i}"])
 
-    got = convert_gnn_state_dict({"name": "GAT", "num_layers": 2}, sd)["params"]
+    got = convert_gnn_state_dict(
+        {"name": "GAT", "num_layers": 2, "graph_pooling_type": "mean"},
+        sd)["params"]
     assert_trees_equal(got, params)
 
 
@@ -315,4 +317,36 @@ def test_ntpool_round_trip():
 
     got = convert_gnn_state_dict(
         {"name": "GCN_NTPool", "num_layers": 2, "n_node_types": T}, sd)["params"]
+    assert_trees_equal(got, params)
+
+
+def test_gcn_att_pooling_round_trip():
+    """graph_pooling_type='att' (the reference GCN's default): the
+    GlobalAttentionPooling gate Linears must convert too."""
+    from wsi_hgnn_tpu.config import parse_gnn_model
+
+    model, _ = parse_gnn_model({
+        "name": "GCN", "in_dim": D, "hidden_dim": H, "out_dim": 2,
+        "num_layers": 2, "feat_drop": 0.0, "graph_pooling_type": "att",
+    })
+    params = jax.tree.map(
+        np.asarray, model.init(jax.random.PRNGKey(8), to_homogeneous(graph()))["params"])
+    for i in range(2):
+        params[f"conv_{i}"]["weight"]["bias"] = np.zeros(
+            params[f"conv_{i}"]["weight"]["bias"].shape, np.float32)
+
+    sd = {}
+    for i in range(2):
+        sd[f"layers.{i}.weight"] = np.asarray(params[f"conv_{i}"]["weight"]["kernel"])
+        sd[f"layers.{i}.bias"] = np.asarray(params[f"conv_{i}"]["bias"])
+        lin_to_sd(sd, f"linears_prediction.{i}", params[f"pred_{i}"])
+    sd["linears_prediction.2.weight"] = np.zeros((2, H), np.float32)
+    sd["linears_prediction.2.bias"] = np.zeros(2, np.float32)
+    lin_to_sd(sd, "classify", params["classify"])
+    for i in range(3):
+        lin_to_sd(sd, f"pools.{i}.gate_nn", params[f"pool_{i}"]["gate_nn"])
+
+    got = convert_gnn_state_dict(
+        {"name": "GCN", "num_layers": 2, "graph_pooling_type": "att"},
+        sd)["params"]
     assert_trees_equal(got, params)

@@ -178,7 +178,7 @@ def convert_hetrgcn(sd: Dict, n_layers: int, n_types: int,
     return params
 
 
-def convert_gcn(sd: Dict, n_layers: int) -> Dict:
+def convert_gcn(sd: Dict, n_layers: int, pooling: str = "att") -> Dict:
     """GCN (reference models/GCN.py:15-79; DGL GraphConv weight [in, out])."""
     params: Dict = {}
     for i in range(n_layers):
@@ -195,6 +195,8 @@ def convert_gcn(sd: Dict, n_layers: int) -> Dict:
         params[f"pred_{i}"] = {"kernel": k, "bias": b}
     k, b = _lin(sd, "classify")
     params["classify"] = {"kernel": k, "bias": b}
+    if pooling == "att":
+        _att_pools(sd, params, n_layers + 1)
     return params
 
 
@@ -208,7 +210,15 @@ def _bn(sd: Dict, prefix: str):
     )
 
 
-def convert_gat(sd: Dict, n_layers: int) -> Dict:
+def _att_pools(sd: Dict, params: Dict, n_pools: int) -> None:
+    """graph_pooling_type='att': DGL GlobalAttentionPooling gate Linears
+    (`pools.{i}.gate_nn`, reference GCN.py:52-58) -> pool_{i}/gate_nn."""
+    for i in range(n_pools):
+        k, b = _lin(sd, f"pools.{i}.gate_nn")
+        params[f"pool_{i}"] = {"gate_nn": {"kernel": k, "bias": b}}
+
+
+def convert_gat(sd: Dict, n_layers: int, pooling: str = "att") -> Dict:
     """GAT (reference models/GAT.py:18-93; DGL GATConv layouts above)."""
     params: Dict = {}
     for i in range(n_layers + 1):
@@ -224,10 +234,13 @@ def convert_gat(sd: Dict, n_layers: int) -> Dict:
     for i in range(n_layers + 1):
         k, b = _lin(sd, f"linears_prediction.{i}")
         params[f"pred_{i}"] = {"kernel": k, "bias": b}
+    if pooling == "att":
+        _att_pools(sd, params, n_layers + 1)
     return params
 
 
-def convert_gin(sd: Dict, n_layers: int, num_mlp_layers: int):
+def convert_gin(sd: Dict, n_layers: int, num_mlp_layers: int,
+                pooling: str = "sum"):
     """GIN (reference models/GIN.py:76-177). Returns (params, batch_stats)
     — BatchNorm running statistics live in the flax batch_stats collection
     and matter at eval time."""
@@ -257,6 +270,8 @@ def convert_gin(sd: Dict, n_layers: int, num_mlp_layers: int):
         params[f"pred_{i}"] = {"kernel": k, "bias": b}
     k, b = _lin(sd, "classify")
     params["classify"] = {"kernel": k, "bias": b}
+    if pooling == "att":
+        _att_pools(sd, params, n_layers)
     return params, stats
 
 
@@ -296,12 +311,17 @@ def convert_gnn_state_dict(config_gnn: Dict, sd: Dict) -> Dict:
     elif name == "HetRGCN":
         params = convert_hetrgcn(sd, n_layers, n_types, edge_types)
     elif name == "GCN":
-        params = convert_gcn(sd, n_layers)
+        params = convert_gcn(
+            sd, n_layers, config_gnn.get("graph_pooling_type", "att")
+        )
     elif name == "GAT":
-        params = convert_gat(sd, n_layers)
+        params = convert_gat(
+            sd, n_layers, config_gnn.get("graph_pooling_type", "att")
+        )
     elif name == "GIN":
         params, stats = convert_gin(
-            sd, n_layers, int(config_gnn["num_mlp_layers"])
+            sd, n_layers, int(config_gnn["num_mlp_layers"]),
+            config_gnn.get("graph_pooling_type", "sum"),
         )
     elif name == "GCN_NTPool":
         params = convert_ntpool(sd, n_layers, n_types)

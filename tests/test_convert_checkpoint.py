@@ -9,6 +9,7 @@ to equal the original exactly. Then drive a converted checkpoint through
 SlidePredictor to pin the end-to-end migration path.
 """
 import sys
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -20,7 +21,7 @@ from wsi_hgnn_tpu import models
 from wsi_hgnn_tpu.graph import to_homogeneous
 from wsi_hgnn_tpu.graph.build import build_batch_device
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 from convert_reference_checkpoint import (  # noqa: E402
     _rel_perm,
     convert_gnn_state_dict,
@@ -350,3 +351,81 @@ def test_gcn_att_pooling_round_trip():
         {"name": "GCN", "num_layers": 2, "graph_pooling_type": "att"},
         sd)["params"]
     assert_trees_equal(got, params)
+
+
+def test_validate_state_catches_config_mismatch():
+    """Converting a HEAT4 state dict with a HEAT2 config parses (HEAT4's
+    keys are a superset) but validate_state must fail with a readable
+    diff instead of letting a silently-wrong checkpoint reach disk."""
+    from convert_reference_checkpoint import validate_state
+
+    model = models.HEATNet4(in_dim=D, hidden_dim=H, out_dim=2, n_layers=2,
+                            n_heads=2, n_node_types=T)
+    params = model.init(jax.random.PRNGKey(10), graph())["params"]
+    sd = {}
+    typed_to_sd(sd, "adapt_ws.{t}", params["adapt_ws"])
+    heat_layers_to_sd(sd, params, 2)
+    for i in range(2):
+        lin_to_sd(sd, f"gcs.{i}.e_linear", params[f"gcs_{i}"]["e_linear"])
+    typed_to_sd(sd, "linears_prediction.{t}", params["linears_prediction"])
+
+    heat2_cfg = {"name": "HEAT2", "n_node_types": T, "num_layers": 2,
+                 "in_dim": D, "hidden_dim": H, "out_dim": 2, "n_heads": 2,
+                 "feat_drop": 0.0, "graph_pooling_type": "mean"}
+    state = convert_gnn_state_dict(heat2_cfg, sd)
+    with pytest.raises(ValueError, match="shape-mismatch"):
+        validate_state(heat2_cfg, state)
+
+    # and the matching config validates clean
+    heat4_cfg = {**heat2_cfg, "name": "HEAT4"}
+    for t in range(T):
+        sd[f"attn.{t}.op.weight"] = (
+            np.asarray(params[f"attn_{t}"]["op"]["kernel"])[None, :, :])
+    for head in ("head_2", "head_1", "head"):
+        lin_to_sd(sd, head, params[head])
+    validate_state(heat4_cfg, convert_gnn_state_dict(heat4_cfg, sd))
+
+
+def test_gin_att_pooling_and_single_mlp_round_trip():
+    """GIN with graph_pooling_type='att' (a real reference operating
+    point) maps pools 0..n_layers-2 plus pools.{n_layers} -> pool_last
+    (pools.{n_layers-1} is unused, GIN.py:83-89); num_mlp_layers=1 maps
+    the single `linear`."""
+    from convert_reference_checkpoint import validate_state
+
+    from wsi_hgnn_tpu.config import parse_gnn_model
+
+    cfg = {"name": "GIN", "in_dim": D, "hidden_dim": H, "out_dim": 2,
+           "num_layers": 2, "num_mlp_layers": 1, "feat_drop": 0.0,
+           "graph_pooling_type": "att", "neighbor_pooling_type": "sum",
+           "learn_eps": False}
+    model, _ = parse_gnn_model(cfg)
+    variables = model.init(jax.random.PRNGKey(11), to_homogeneous(graph()))
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables.get("batch_stats", {}))
+
+    sd = {}
+    gin = params["gin_0"]
+    lin_to_sd(sd, "layers.0.apply_func.mlp.linear", gin["mlp"]["linear"])
+    sd["layers.0.apply_func.bn.weight"] = np.asarray(gin["bn"]["scale"])
+    sd["layers.0.apply_func.bn.bias"] = np.asarray(gin["bn"]["bias"])
+    sd["layers.0.apply_func.bn.running_mean"] = np.asarray(
+        stats["gin_0"]["bn"]["mean"])
+    sd["layers.0.apply_func.bn.running_var"] = np.asarray(
+        stats["gin_0"]["bn"]["var"])
+    sd["layers.0.eps"] = np.float32(np.asarray(gin["eps"]))
+    lin_to_sd(sd, "linears_prediction.0", params["pred_0"])
+    sd["linears_prediction.1.weight"] = np.zeros((2, H), np.float32)
+    sd["linears_prediction.1.bias"] = np.zeros(2, np.float32)
+    lin_to_sd(sd, "classify", params["classify"])
+    # pools: loop uses pools.0 (n_layers-1 = 1 entry); classify uses
+    # pools.2; pools.1 is dead
+    lin_to_sd(sd, "pools.0.gate_nn", params["pool_0"]["gate_nn"])
+    sd["pools.1.gate_nn.weight"] = np.zeros((1, H), np.float32)
+    sd["pools.1.gate_nn.bias"] = np.zeros(1, np.float32)
+    lin_to_sd(sd, "pools.2.gate_nn", params["pool_last"]["gate_nn"])
+
+    got = convert_gnn_state_dict(cfg, sd)
+    assert_trees_equal(got["params"], params)
+    assert_trees_equal(got["batch_stats"], stats)
+    validate_state(cfg, got)

@@ -178,16 +178,23 @@ def convert_hetrgcn(sd: Dict, n_layers: int, n_types: int,
     return params
 
 
+def _graphconv(sd: Dict, i: int) -> Dict:
+    """DGL GraphConv `layers.{i}` -> conv_{i} (weight [in, out] is NOT
+    transposed; our layer's internal Dense bias maps to zero — DGL has
+    one bias)."""
+    w = np.asarray(sd[f"layers.{i}.weight"], np.float32)
+    b = np.asarray(sd[f"layers.{i}.bias"], np.float32)
+    return {
+        "weight": {"kernel": w, "bias": np.zeros(w.shape[1], np.float32)},
+        "bias": b,
+    }
+
+
 def convert_gcn(sd: Dict, n_layers: int, pooling: str = "att") -> Dict:
     """GCN (reference models/GCN.py:15-79; DGL GraphConv weight [in, out])."""
     params: Dict = {}
     for i in range(n_layers):
-        w = np.asarray(sd[f"layers.{i}.weight"], np.float32)  # [in, out]
-        b = np.asarray(sd[f"layers.{i}.bias"], np.float32)
-        params[f"conv_{i}"] = {
-            "weight": {"kernel": w, "bias": np.zeros(w.shape[1], np.float32)},
-            "bias": b,
-        }
+        params[f"conv_{i}"] = _graphconv(sd, i)
     # linears_prediction.{n_layers} exists in the reference state dict but
     # its forward never uses it (GCN.py:68-77) — dropped
     for i in range(n_layers):
@@ -250,19 +257,28 @@ def convert_gin(sd: Dict, n_layers: int, num_mlp_layers: int,
         ref = f"layers.{i}.apply_func"
         mlp_p: Dict = {}
         mlp_s: Dict = {}
-        for j in range(num_mlp_layers):
-            k, b = _lin(sd, f"{ref}.mlp.linears.{j}")
-            mlp_p[f"linears_{j}"] = {"kernel": k, "bias": b}
-        for j in range(num_mlp_layers - 1):
-            p, st = _bn(sd, f"{ref}.mlp.batch_norms.{j}")
-            mlp_p[f"bn_{j}"] = p
-            mlp_s[f"bn_{j}"] = st
+        if num_mlp_layers == 1:
+            # a 1-layer reference MLP is a single Linear named `linear`
+            # (GIN.py:41-49); ours matches (models.homogeneous.GINMLP)
+            k, b = _lin(sd, f"{ref}.mlp.linear")
+            mlp_p["linear"] = {"kernel": k, "bias": b}
+        else:
+            for j in range(num_mlp_layers):
+                k, b = _lin(sd, f"{ref}.mlp.linears.{j}")
+                mlp_p[f"linears_{j}"] = {"kernel": k, "bias": b}
+            for j in range(num_mlp_layers - 1):
+                p, st = _bn(sd, f"{ref}.mlp.batch_norms.{j}")
+                mlp_p[f"bn_{j}"] = p
+                mlp_s[f"bn_{j}"] = st
         bn_p, bn_s = _bn(sd, f"{ref}.bn")
         params[f"gin_{i}"] = {
             "mlp": mlp_p, "bn": bn_p,
             "eps": np.float32(np.asarray(sd[f"layers.{i}.eps"])).reshape(()),
         }
-        stats[f"gin_{i}"] = {"mlp": mlp_s, "bn": bn_s}
+        # single-layer MLPs have no BN stats; an empty 'mlp' entry would
+        # mismatch the model's batch_stats tree structure
+        stats[f"gin_{i}"] = ({"mlp": mlp_s, "bn": bn_s} if mlp_s
+                             else {"bn": bn_s})
     # linears_prediction has num_layers entries but the forward uses only
     # the first num_layers-1 + classify (GIN.py:83-89) — extras dropped
     for i in range(n_layers - 1):
@@ -271,7 +287,12 @@ def convert_gin(sd: Dict, n_layers: int, num_mlp_layers: int,
     k, b = _lin(sd, "classify")
     params["classify"] = {"kernel": k, "bias": b}
     if pooling == "att":
-        _att_pools(sd, params, n_layers)
+        # the GIN forward uses pools 0..n_layers-2 in its layer loop and
+        # pools[-1] (= pools.{n_layers}) for classify; pools.{n_layers-1}
+        # is never used (GIN.py:83-89) — our names: pool_{i} + pool_last
+        _att_pools(sd, params, n_layers - 1)
+        k, b = _lin(sd, f"pools.{n_layers}.gate_nn")
+        params["pool_last"] = {"gate_nn": {"kernel": k, "bias": b}}
     return params, stats
 
 
@@ -280,12 +301,7 @@ def convert_ntpool(sd: Dict, n_layers: int, n_types: int) -> Dict:
     + per-(layer, ntype) readout heads as FLAT stacked params."""
     params: Dict = {}
     for i in range(n_layers):
-        w = np.asarray(sd[f"layers.{i}.weight"], np.float32)  # [in, out]
-        b = np.asarray(sd[f"layers.{i}.bias"], np.float32)
-        params[f"conv_{i}"] = {
-            "weight": {"kernel": w, "bias": np.zeros(w.shape[1], np.float32)},
-            "bias": b,
-        }
+        params[f"conv_{i}"] = _graphconv(sd, i)
     for i in range(n_layers):
         ks, bs = zip(*(
             _lin(sd, f"linears_prediction.{t}.{i}") for t in range(n_types)
@@ -332,6 +348,54 @@ def convert_gnn_state_dict(config_gnn: Dict, sd: Dict) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
+def validate_state(config_gnn: Dict, state: Dict) -> None:
+    """Initialise the configured model on a tiny synthetic graph and
+    require the converted tree to match its structure and shapes exactly
+    — a config/checkpoint mismatch (e.g. a HEAT4 state dict converted
+    with a HEAT2 config) must fail HERE with a readable diff, not surface
+    later as silently-wrong served outputs or an opaque einsum error."""
+    import jax
+
+    from wsi_hgnn_tpu.config import parse_gnn_model
+    from wsi_hgnn_tpu.graph import to_homogeneous
+    from wsi_hgnn_tpu.graph.build import build_batch_device
+
+    model, is_hetero = parse_gnn_model(config_gnn)
+    n_types = int(config_gnn.get("n_node_types", 6))
+    d = int(config_gnn["in_dim"])
+    rng = np.random.RandomState(0)
+    g = build_batch_device(
+        rng.randn(1, 32, d).astype(np.float32),
+        rng.randint(0, n_types, (1, 32)).astype(np.int32),
+        np.ones((1, 32), bool), 4, n_types,
+    )
+    g = g if is_hetero else to_homogeneous(g)
+    want = jax.eval_shape(model.init, jax.random.PRNGKey(0), g)
+
+    def flat(tree):
+        return {
+            "/".join(str(k.key) for k in path): tuple(np.shape(leaf))
+            if not hasattr(leaf, "shape") else tuple(leaf.shape)
+            for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+        }
+
+    for col in want:
+        w = flat(want[col])
+        got = flat(state.get(col) or {})
+        if w != got:
+            missing = sorted(set(w) - set(got))
+            extra = sorted(set(got) - set(w))
+            wrong = sorted(
+                f"{p}: converted {got[p]} vs model {w[p]}"
+                for p in set(w) & set(got) if w[p] != got[p]
+            )
+            raise ValueError(
+                f"converted {col!r} does not match the "
+                f"{config_gnn['name']} model: "
+                f"missing={missing} extra={extra} shape-mismatch={wrong}"
+            )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("-config", required=True, help="training YAML")
@@ -341,15 +405,13 @@ def main():
                    help="output checkpoint dir (default: config checkpoint.path)")
     args = p.parse_args()
 
-    from wsi_hgnn_tpu.config import load_config, parse_gnn_model
+    from wsi_hgnn_tpu.config import load_config
     from wsi_hgnn_tpu.train.checkpoint import CheckpointManager
 
     config = load_config(args.config)
     sd = load_torch_state_dict(args.inp)
     state = convert_gnn_state_dict(config["GNN"], sd)
-
-    # sanity: the converted tree must load into the parsed model
-    parse_gnn_model(config["GNN"])
+    validate_state(config["GNN"], state)
 
     out = args.out or config["checkpoint"]["path"]
     cm = CheckpointManager(out)

@@ -88,8 +88,15 @@ class GraphLoader:
         # shared PER-SLIDE capacities and stack on a leading axis —
         # the input form of the vmapped per-slide eval forward
         # (train.evaluator.make_stacked_eval_fn). node/edge_capacity
-        # are then per-slide, not per-batch.
+        # are then per-slide, not per-batch, and are REQUIRED: without a
+        # shared capacity the per-slide buckets differ and np.stack
+        # fails (or the batch stream becomes shape-unstable, forcing a
+        # recompile per batch).
         self.stacked = stacked
+        if stacked and (node_capacity is None or edge_capacity is None):
+            raise ValueError(
+                "stacked=True needs explicit per-slide node/edge capacities"
+            )
 
     def __len__(self):
         return (len(self.dataset) + self.batch_size - 1) // self.batch_size
@@ -116,6 +123,10 @@ class GraphLoader:
                 repad_graph(g, self.node_capacity, self.edge_capacity)
                 for g in graphs
             ]
+            if self.sort_edges:
+                # keep the sorted-scatter fast path per slide (identical
+                # static fields across slides, so stacking still works)
+                padded = [sort_graph_edges(g) for g in padded]
             gb = jax.tree.map(lambda *xs: np.stack(xs), *padded)
         else:
             gb = batch_graphs(

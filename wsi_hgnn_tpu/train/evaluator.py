@@ -51,6 +51,13 @@ def make_stacked_eval_fn(model, is_hetero: bool):
     return fwd
 
 
+def eval_forward_for(model, is_hetero: bool):
+    """The default eval forward: stacked (vmapped per-slide) for hetero
+    models, flat for homo — pair with make_eval_loader(stacked=is_hetero)."""
+    return (make_stacked_eval_fn(model, is_hetero) if is_hetero
+            else make_eval_fn(model, is_hetero))
+
+
 def make_lattice_eval_fn(twin):
     """Compiled eval forward on the lattice fast path (twin =
     config.parse_lattice_twin of the GNN section; same param tree).
@@ -123,10 +130,17 @@ def evaluate(
         variables = {"params": variables["params"]}
     # hetero default: stacked batches + vmapped per-slide forward (the
     # reference's one-at-a-time eval semantics at full device batching);
-    # homo models are grouping-invariant and flat-batch
+    # homo models are grouping-invariant and flat-batch. The loader and
+    # forward FORMS must match — a stacked fwd on a flat batch vmaps over
+    # the node axis and shape-errors — so for hetero models supply both
+    # or neither.
+    if is_hetero and (loader is None) != (fwd is None):
+        raise ValueError(
+            "hetero evaluate(): pass both `loader` and `fwd` (matching "
+            "stacked/flat forms) or neither"
+        )
     if fwd is None:
-        fwd = (make_stacked_eval_fn(model, is_hetero) if is_hetero
-               else make_eval_fn(model, is_hetero))
+        fwd = eval_forward_for(model, is_hetero)
     if loader is None:
         loader = make_eval_loader(dataset, batch_size, stacked=is_hetero)
     probs, labels = [], []
@@ -271,19 +285,15 @@ class HomoGraphEvaluator:
         # eval() calls (e.g. test then val, every epoch) don't rescan the
         # dataset or recompile (VERDICT.md round-1 weak #3)
         if not hasattr(self, "_fwd"):
-            self._fwd = (make_stacked_eval_fn(self.model, self.is_hetero)
-                         if self.is_hetero
-                         else make_eval_fn(self.model, self.is_hetero))
+            self._fwd = eval_forward_for(self.model, self.is_hetero)
         lat = self._lattice_entry()
         if lat is not None:
             m = self._eval_lattice(*lat)
         else:
             entry = self._dataset_entry()
             if "loader" not in entry:
-                cap_n, cap_e = entry["caps"]
-                entry["loader"] = GraphLoader(
-                    self.test_data, 8, shuffle=False,
-                    node_capacity=cap_n, edge_capacity=cap_e,
+                entry["loader"] = make_eval_loader(
+                    self.test_data, 8, caps=entry["caps"],
                     stacked=entry["stacked"],
                 )
             m = evaluate(

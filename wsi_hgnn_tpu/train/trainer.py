@@ -35,9 +35,8 @@ from .checkpoint import CheckpointManager
 from .evaluator import (
     HomoGraphEvaluator,
     evaluate,
-    make_eval_fn,
+    eval_forward_for,
     make_eval_loader,
-    make_stacked_eval_fn,
 )
 from .metrics import accuracy, metrics
 from ..profiling import GLOBAL_TIMER
@@ -201,10 +200,7 @@ class GNNTrainer:
         # reference reloads the checkpoint and rescans the split per epoch
         # (train_gnn.py:111-115); round 1 replaced the checkpoint reload but
         # still rescanned (VERDICT.md weak #3)
-        self._eval_fwd = (
-            make_stacked_eval_fn(self.model, self.is_hetero)
-            if self.is_hetero else make_eval_fn(self.model, self.is_hetero)
-        )
+        self._eval_fwd = eval_forward_for(self.model, self.is_hetero)
         self._eval_splits: Dict[str, tuple] = {}
 
     # ------------------------------------------------------------------ #
@@ -411,14 +407,15 @@ class GNNTrainer:
         }
 
     def _split_info(self, split_path: str):
-        """(data, average, eval_bs, (cap_n, cap_e), lattice_probe) — ONE
+        """(data, average, stacked, (cap_n, cap_e), lattice_probe) — ONE
         dataset scan per split (probe_lattice_and_capacities), shared by
         the lattice and TypedGraph eval paths so an irregular split
-        doesn't pay the full-split disk read twice. Hetero models on the
-        TypedGraph fallback evaluate one slide per forward (batch-global
-        occupancy would make metrics grouping-dependent; the reference
-        evaluates one-at-a-time, eval_homo_graph.py:75); homo models and
-        the lattice path (twin presence='graph') batch."""
+        doesn't pay the full-split disk read twice. stacked=True (hetero
+        models on the TypedGraph fallback): slides evaluate independently
+        — per-slide occupancy, the reference's one-at-a-time semantics
+        (eval_homo_graph.py:75) — via a vmapped forward, 8 per dispatch;
+        caps are then PER-SLIDE. Homo models flat-batch; the lattice
+        path batches too (twin presence='graph')."""
         if split_path not in self._split_info_cache:
             from ..data.lattice_loader import probe_lattice_and_capacities
 

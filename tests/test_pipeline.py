@@ -110,3 +110,88 @@ def test_full_workflow(tmp_path, monkeypatch):
     ]
     train_files = Path(list_dir, "heterogeneous_train.txt").read_text().split()
     assert all(f.endswith(".npz") for f in train_files)
+
+
+def test_tiler_skips_out_of_range_levels(tmp_path):
+    """Shipped CLI defaults (base_mag=40, objective=20) on a slide without
+    objective-power metadata (every PIL-backend image): the reference
+    skips non-existent DeepZoom levels (get_patches.py:95-100); direct
+    indexing would crash or silently tile the wrong pyramid level."""
+    slide_dir = tmp_path / "d" / "C" / "i"
+    slide_dir.mkdir(parents=True)
+    p = slide_dir / "TCGA-90-0000-01Z-00-DX1.png"
+    make_fake_slide(p, 1024, 768)
+    out_base = str(tmp_path / "o")
+    # objective != base_mag -> first_level = -1 -> dz_level out of range
+    tile_slides([str(p)], out_base, levels=(0,), base_mag=40, objective=20,
+                workers=1, tile_size=256, background_t=10,
+                class_index=len(str(tmp_path).split(os.sep)))
+    # no crash; the out-of-range level produced no tiles
+    assert glob.glob(out_base + "/**/*.jpeg", recursive=True) == []
+
+
+def test_nested_patches_keeps_childless_low_mag(tmp_path):
+    """2-level bags: a low-mag tile whose high-mag children were all
+    background-rejected KEEPS its low-mag patch — the reference's
+    os.remove targets the already-moved temp path, always fails, and is
+    swallowed (get_patches.py:230-237), so its bags keep these tiles."""
+    from wsi_hgnn_tpu.pipeline.tiler import nested_patches
+
+    temp = tmp_path / "t"
+    (temp.parent / "t_files" / "20").mkdir(parents=True)
+    (temp.parent / "t_files" / "40").mkdir(parents=True)
+    img = Image.new("RGB", (8, 8))
+    # low-mag tile 0_0 with one high-mag child; low-mag 1_0 childless
+    img.save(temp.parent / "t_files" / "20" / "0_0.jpeg")
+    img.save(temp.parent / "t_files" / "20" / "1_0.jpeg")
+    img.save(temp.parent / "t_files" / "40" / "0_0.jpeg")
+    bag = nested_patches(str(tmp_path / "c" / "SLIDE.png"), str(tmp_path / "out"),
+                         str(temp), levels=(0, 1), class_index=len(
+                             str(tmp_path).split(os.sep)))
+    names = sorted(os.listdir(bag))
+    assert "0_0.jpeg" in names and "1_0.jpeg" in names  # childless kept
+    assert os.path.isdir(os.path.join(bag, "0_0"))
+    assert not os.path.isdir(os.path.join(bag, "1_0"))  # empty dir dropped
+
+
+def test_patch_stream_propagates_decode_errors(tmp_path):
+    """A corrupt patch file must raise, not silently truncate the stream
+    (a graph built from a partial patch set would save without warning)."""
+    from wsi_hgnn_tpu.pipeline.patches import iter_patch_batches, list_patches
+
+    d = tmp_path / "bag"
+    d.mkdir()
+    for i in range(3):
+        Image.new("RGB", (256, 256)).save(d / f"{i}_0.jpeg")
+    (d / "zz_corrupt.jpeg").write_bytes(b"not a jpeg")
+    paths = list_patches(d)
+    with pytest.raises(Exception):
+        list(iter_patch_batches(paths, batch_size=2))
+    with pytest.raises(Exception):
+        list(iter_patch_batches(paths, batch_size=2, prefetch=0))
+
+
+def test_splits_with_tcga_in_directory_name(tmp_path):
+    """A 'TCGA' substring in the graphs directory must not corrupt the
+    barcode slicing (it would silently empty every split)."""
+    from wsi_hgnn_tpu.pipeline.splits import typing_trainval
+    import random as _random
+
+    out = tmp_path / "TCGA_BRCA" / "graphs"
+    (out / "homogeneous").mkdir(parents=True)
+    (out / "heterogeneous").mkdir(parents=True)
+    labels = tmp_path / "labels.txt"
+    rows = []
+    for i in range(10):
+        bc = f"TCGA-{i:02d}-0000"
+        (out / "homogeneous" / f"{bc}-01Z-00-DX1.npz").write_bytes(b"x")
+        label = ("Infiltrating Ductal Carcinoma" if i % 2
+                 else "Infiltrating Lobular Carcinoma")
+        rows.append(f"{bc}\t{label}")
+    labels.write_text("\n".join(rows))
+    normal = tmp_path / "normal.txt"
+    normal.write_text("")
+    train, val, test = typing_trainval(
+        str(out), str(normal), str(labels), rng=_random.Random(0)
+    )
+    assert len(train) + len(val) + len(test) == 10

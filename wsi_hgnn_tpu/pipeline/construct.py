@@ -53,7 +53,8 @@ def make_encoder(name: str, config: Dict, hovernet_config: Dict, kimianet_config
     both CNNs consume ONE decoded patch stream (the reference constructor
     always runs typing, graph_constructor.py:239-246)."""
     if name == "random":
-        return random_encoder(config.get("feature_dim", 1024))
+        return random_encoder(config.get("feature_dim", 1024),
+                              n_types=config.get("n_node_type", 6))
     if name in ("kimia", "efficientnet-b4", "hover"):
         from ..models.featurizers import make_cnn_encoder
 
@@ -128,7 +129,14 @@ class GraphConstructor:
             head, tail = os.path.split(str(wsi_data))
             f = Path(node_type_dir) / (tail + ".npy")
             if f.exists():
-                self.node_type = np.load(f)
+                loaded = np.load(f)
+                if len(loaded) != len(self.features):
+                    raise ValueError(
+                        f"stale node_type_dir: {f} holds {len(loaded)} "
+                        f"types but {tail!r} has {len(self.features)} "
+                        f"patches — re-run the HoVer-Net typing pass"
+                    )
+                self.node_type = loaded
             else:
                 warnings.warn(
                     f"node_type_dir is set but {f} does not exist; "

@@ -32,9 +32,12 @@ class Extractor:
         """Whole chosen level as RGBA (extractor.py:57-106). RAM warning is
         the scale ceiling, SURVEY.md §5."""
         try:
-            from openslide import OpenSlide
+            # open_slide returns an ImageSlide wrapper for plain images
+            # (the documented PIL-class inputs), where OpenSlide(path)
+            # would raise OpenSlideUnsupportedFormatError
+            from openslide import open_slide
 
-            wsi = OpenSlide(self.wsi_path)
+            wsi = open_slide(self.wsi_path)
             level = min(self.level, wsi.level_count - 1)
             dims = wsi.level_dimensions[level]
             img = wsi.read_region((0, 0), level, dims)

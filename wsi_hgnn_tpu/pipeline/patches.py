@@ -7,8 +7,6 @@ stream to the device featurizer through a double-buffered iterator.
 """
 from __future__ import annotations
 
-import threading
-import queue
 from pathlib import Path
 from typing import Iterator, List, Optional
 
@@ -59,24 +57,9 @@ def iter_patch_batches(
         list(range(i, min(i + batch_size, len(paths))))
         for i in range(0, len(paths), batch_size)
     ]
-    if prefetch <= 0:
-        for c in chunks:
-            yield make(c)
-        return
+    # a corrupt patch must RAISE, not silently truncate the stream — a
+    # graph built from a partial patch set would save without warning
+    # (prefetched_batches re-raises worker exceptions in the consumer)
+    from ..data.loader import prefetched_batches
 
-    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
-    stop = object()
-
-    def worker():
-        try:
-            for c in chunks:
-                q.put(make(c))
-        finally:
-            q.put(stop)
-
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is stop:
-            break
-        yield item
+    yield from prefetched_batches(chunks, make, prefetch)

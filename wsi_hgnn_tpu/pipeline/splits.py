@@ -46,10 +46,11 @@ def classification_trainval(out_dir, normal_path, rng: random.Random) -> Split:
         normal_graphs.extend(
             glob.glob(str(Path(out_dir) / "homogeneous" / (normal + "*.npz")))
         )
+    # overlapping normal prefixes may match the same file twice
+    normal_graphs = sorted(set(normal_graphs))
     tumor_graphs = sorted(set(graph_list) - set(normal_graphs))
     if len(normal_graphs) + len(tumor_graphs) != len(graph_list):
         raise ValueError("removed graph number != total normal graph")
-    normal_graphs = sorted(normal_graphs)
     rng.shuffle(normal_graphs)
     rng.shuffle(tumor_graphs)
     train_t, testval_t = _split(tumor_graphs, 0.8)
@@ -65,10 +66,13 @@ def _filtered_trainval(out_dir, normal_path, label_path, allowed, sep, fracs,
     mapping = {k: v for k, v in (l.split(sep=sep) for l in _read_list(label_path))}
     graphs = []
     for p in sorted(_graphs(out_dir)):
-        pos = p.find("TCGA")
-        if pos < 0 or p[pos:pos + 16] in normal_list:
+        # search the FILENAME: a directory named 'TCGA_BRCA' would anchor
+        # the barcode slice in the path and silently empty every split
+        base = os.path.basename(p)
+        pos = base.find("TCGA")
+        if pos < 0 or base[pos:pos + 16] in normal_list:
             continue
-        lb = mapping.get(p[pos:pos + 12])
+        lb = mapping.get(base[pos:pos + 12])
         if lb is None or lb not in allowed:
             continue
         graphs.append(p)

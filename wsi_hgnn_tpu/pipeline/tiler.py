@@ -30,8 +30,6 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 from PIL import Image, ImageFilter, ImageStat
 
-Image.MAX_IMAGE_PIXELS = None
-
 try:  # openslide is a C library; optional in this environment
     import openslide
     from openslide import open_slide
@@ -170,6 +168,16 @@ class DeepZoomStaticTiler:
         dz_levels = [dz.level_count - i - 1 for i in target_levels]
         mag_list = [int(int(mag_base) / 2 ** i) for i in target_levels]
         for mag, level in zip(mag_list, dz_levels):
+            if not 0 <= level < dz.level_count:
+                # the reference iterates existing levels and skips
+                # out-of-range targets (get_patches.py:95-100); direct
+                # indexing would crash (level == level_count when the
+                # slide lacks objective-power metadata) or silently tile
+                # the WRONG level via negative-index wraparound
+                print(f"skipping magnification {mag}: DeepZoom level "
+                      f"{level} outside [0, {dz.level_count})",
+                      file=sys.stderr)
+                continue
             tiledir = os.path.join(f"{self._basename}_files", str(mag))
             os.makedirs(tiledir, exist_ok=True)
             cols, rows = dz.level_tiles[level]
@@ -221,8 +229,11 @@ def nested_patches(img_slide: str, out_base: str, temp_base: str,
                     if hp:
                         shutil.move(hp[0], os.path.join(high_dir, os.path.basename(hp[0])))
             try:
-                os.rmdir(high_dir)  # drop childless folders, like the reference
-                os.remove(os.path.join(bag_path, name))
+                # drop childless folders; KEEP the low-mag patch — the
+                # reference's os.remove targets the already-moved temp
+                # path, always raises, and is swallowed
+                # (get_patches.py:230-237), so its bags keep these tiles
+                os.rmdir(high_dir)
             except OSError:
                 pass
     return bag_path
@@ -233,6 +244,10 @@ def tile_slides(slides: Sequence[str], out_base: str, *, levels=(0,), base_mag=4
                 workers=4, background_t=15, class_index: int = 2) -> None:
     """The get_patches __main__ loop (:275-283): tile each slide into a temp
     DeepZoom tree, reorganise into bags, clean up."""
+    # WSIs legitimately exceed PIL's decompression-bomb threshold; lift the
+    # guard only for the tiling entry point, not at library import (the
+    # reference sets this in its __main__, get_patches.py)
+    Image.MAX_IMAGE_PIXELS = None
     temp_base = "WSI_temp_2" if len(levels) == 1 else "WSI_temp"
     for idx, c_slide in enumerate(slides):
         print(f"Process slide {idx + 1}/{len(slides)}")

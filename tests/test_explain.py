@@ -194,6 +194,21 @@ def _c16_fixture(tmp_path, slides=("test_001", "test_002")):
             "patch_size": 256,
         },
     }
+
+    # ExplainGraph loads its trained weights LOUDLY (the reference's
+    # load_state_dict semantics) — write a checkpoint for the fixture
+    import jax
+
+    from wsi_hgnn_tpu.config import parse_gnn_model
+    from wsi_hgnn_tpu.graph import from_arrays
+    from wsi_hgnn_tpu.train.checkpoint import CheckpointManager
+
+    model, _ = parse_gnn_model(cfg["GNN"])
+    g0 = from_arrays(feat, src, dst, n_node_types=1)
+    variables = model.init(jax.random.PRNGKey(0), g0)
+    CheckpointManager(cfg["checkpoint"]["path"]).write_new_version(
+        cfg, {"params": variables["params"], "batch_stats": {}}, {"Epoch": 1}
+    )
     return cfg
 
 
@@ -235,3 +250,19 @@ def test_explain_graph_eval_real_explainer(tmp_path):
     eg = ExplainGraph(cfg)
     aucs = eg.eval()
     assert len(aucs) == 1 and np.isfinite(aucs[0])
+
+
+def test_explain_graph_requires_checkpoint(tmp_path):
+    """A missing checkpoint must raise (the reference loads its trained
+    weights loudly, explain_graphs.py:42-43) — explaining random weights
+    would print plausible-looking AUCs."""
+    pytest.importorskip("cv2")
+    pytest.importorskip("matplotlib")
+    import shutil
+
+    from wsi_hgnn_tpu.explain.explain_graphs import ExplainGraph
+
+    cfg = _c16_fixture(tmp_path, slides=("test_009",))
+    shutil.rmtree(cfg["checkpoint"]["path"])
+    with pytest.raises(FileNotFoundError, match="no checkpoint"):
+        ExplainGraph(cfg)

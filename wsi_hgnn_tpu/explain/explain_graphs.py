@@ -80,21 +80,11 @@ class ExplainGraph:
 
         self.checkpoint_manager = CheckpointManager(config["checkpoint"]["path"])
         self.model, self.is_hetero = parse_gnn_model(self.config_gnn)
-        example, _, _ = self.eval_data[0]
-        g0 = example if self.is_hetero else to_homogeneous(example)
-        variables = self.model.init(jax.random.PRNGKey(0), g0)
-        try:
-            restored = self.checkpoint_manager.load_model_raw()
-            import jax.numpy as jnp
-
-            restored = jax.tree.map(jnp.asarray, restored)
-            self.variables = {"params": restored["params"]}
-            if restored.get("batch_stats"):
-                self.variables["batch_stats"] = restored["batch_stats"]
-        except FileNotFoundError:
-            self.variables = {"params": variables["params"]}
-            if variables.get("batch_stats"):
-                self.variables["batch_stats"] = variables["batch_stats"]
+        # the reference loads its trained weights loudly
+        # (explain_graphs.py:42-43) — explaining a randomly-initialised
+        # model would print plausible-looking AUCs, so a missing
+        # checkpoint raises here
+        self.variables = self.checkpoint_manager.restore_variables()
 
         self.n_hops = self.config_gnn["num_layers"] - 1
         self.level = self.config_eval["level"]
@@ -120,7 +110,11 @@ class ExplainGraph:
             wsi = OpenSlide(path)
             dim = wsi.level_dimensions[self.level]
             return np.asarray(wsi.get_thumbnail(dim).convert("RGB")), wsi.dimensions
-        except ImportError:
+        except Exception:
+            # openslide absent OR the slide isn't an openslide-readable
+            # pyramid (plain .png/.jpeg exports) — the PIL path handles
+            # both; only catching ImportError made it unreachable with
+            # openslide installed
             from PIL import Image
 
             for ext in (suffix, ".png", ".jpeg", ".jpg"):

@@ -129,8 +129,11 @@ class ASAPPooling(nn.Module):
         x = g.feat if h is None else h
         n, b, k = g.num_nodes, g.n_graphs, self.k
         # the reference enters with edge_weight=None => all weights 1
-        # (ASAP.py:146-154); the Pearson `sim` is NOT used as a weight there
-        ew = jnp.ones_like(g.sim)
+        # (ASAP.py:146-154; the Pearson `sim` is NOT used as a weight
+        # there) — but it DOES honor a supplied edge_weight, which is how
+        # GNNExplainer's learned edge mask reaches the pooling attention
+        ew = (jnp.ones_like(g.sim) if g.edge_weight is None
+              else g.edge_weight.astype(g.sim.dtype))
         src, dst, w, mask = _with_self_loops(g, ew)
 
         x_pool = GCNConv(self.in_dim, name="gnn_intra_cluster")(x, src, dst, w, mask)

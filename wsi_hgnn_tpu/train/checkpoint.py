@@ -75,6 +75,41 @@ class CheckpointManager:
         data = self.get_model_file(self.version).read_bytes()
         return serialization.msgpack_restore(data)
 
+    def restore_variables(self, init_variables=None, require: bool = True):
+        """Latest checkpoint -> model variables {'params', [batch_stats]},
+        leaves promoted to device arrays (numpy_array[tracer] fancy
+        indexing fails under jit otherwise). Shared by the evaluator and
+        the explanation pipeline so their restore semantics cannot drift.
+
+        require=True matches the reference's loud load
+        (explain_graphs.py:42-43): a missing checkpoint raises instead of
+        silently producing random-weight 'results'. require=False falls
+        back to `init_variables` with a warning (eval before the first
+        checkpoint exists)."""
+        import warnings
+
+        import jax
+        import jax.numpy as jnp
+
+        try:
+            restored = self.load_model_raw()
+        except FileNotFoundError:
+            if require or init_variables is None:
+                raise FileNotFoundError(
+                    f"no checkpoint under {self.path!r} (version "
+                    f"{self.version}); train first or fix checkpoint.path"
+                ) from None
+            warnings.warn(
+                f"no checkpoint under {self.path!r}; using RANDOM initial "
+                "weights — metrics from this evaluator are meaningless"
+            )
+            restored = init_variables
+        restored = jax.tree.map(jnp.asarray, restored)
+        variables = {"params": restored["params"]}
+        if restored.get("batch_stats"):
+            variables["batch_stats"] = restored["batch_stats"]
+        return variables
+
     # -- versioning ------------------------------------------------------ #
     def save_version(self, version: int) -> None:
         with self.get_version_file().open("wt") as tf:

@@ -182,24 +182,15 @@ class HomoGraphEvaluator:
             self.config_data, self.config_data["eval_path"], "eval"
         )
 
-        # restore latest checkpoint (raw msgpack — structure-free)
+        # restore latest checkpoint (shared semantics with ExplainGraph);
+        # a missing checkpoint falls back to random init WITH A WARNING
+        # (eval can legitimately run before the first checkpoint exists)
         example, _ = self.test_data[0]
         g = example if self.is_hetero else to_homogeneous(example)
         variables = self.model.init(jax.random.PRNGKey(0), g)
-        try:
-            restored = self.checkpoint_manager.load_model_raw()
-            # msgpack_restore yields numpy leaves; promote to device arrays
-            # (numpy_array[tracer] fancy-indexing fails under jit otherwise)
-            restored = jax.tree.map(jnp.asarray, restored)
-            self.variables = {
-                "params": restored["params"],
-                "batch_stats": restored.get("batch_stats", {}),
-            }
-        except FileNotFoundError:
-            self.variables = {
-                "params": variables["params"],
-                "batch_stats": variables.get("batch_stats", {}),
-            }
+        self.variables = self.checkpoint_manager.restore_variables(
+            init_variables=variables, require=False
+        )
 
     def load_data(self, path):
         data, self.average = self._select_dataset(self.config_data, path, "eval")

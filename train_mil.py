@@ -298,18 +298,29 @@ def run_gtn(args, bags, labels, coords):
 
     def make_train_step(tx):
         @jax.jit
-        def train_step(params, opt_state, feats, adj, mask, label):
+        def train_step(params, bstats, opt_state, feats, adj, mask, label):
+            # train=True: the GCNBlock's masked BatchNorm uses (and
+            # updates) batch statistics, like the reference's model.train()
             def loss_fn(p):
-                logits, aux = model.apply(p, feats, adj, mask)
-                return -jax.nn.log_softmax(logits)[0, label] + aux
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+                (logits, aux), upd = model.apply(
+                    {"params": p, "batch_stats": bstats}, feats, adj, mask,
+                    train=True, mutable=["batch_stats"],
+                )
+                return (-jax.nn.log_softmax(logits)[0, label] + aux,
+                        upd["batch_stats"])
+            (loss, new_bstats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+            return (optax.apply_updates(params, updates), new_bstats,
+                    opt_state, loss)
         return train_step
 
     @jax.jit
-    def eval_step(params, feats, adj, mask):
-        logits, _ = model.apply(params, feats, adj, mask)
+    def eval_step(params, bstats, feats, adj, mask):
+        logits, _ = model.apply(
+            {"params": params, "batch_stats": bstats}, feats, adj, mask,
+            train=False,
+        )
         return jax.nn.softmax(logits)[0]
 
     fold_metrics = []
@@ -317,7 +328,8 @@ def run_gtn(args, bags, labels, coords):
         test_idx = folds[fi]
         train_idx = np.concatenate([folds[j] for j in range(args.folds) if j != fi])
         f0, a0, m0 = make_inputs(train_idx[0])
-        params = model.init(jax.random.PRNGKey(args.seed), f0, a0, m0)
+        variables = model.init(jax.random.PRNGKey(args.seed), f0, a0, m0)
+        params, bstats = variables["params"], variables["batch_stats"]
         tx = make_tx(len(train_idx))
         train_step = make_train_step(tx)
         opt_state = tx.init(params)
@@ -325,15 +337,18 @@ def run_gtn(args, bags, labels, coords):
             for j in rng.permutation(len(train_idx)):
                 i = train_idx[j]
                 f, a, m = make_inputs(i)
-                params, opt_state, _ = train_step(params, opt_state, f, a, m, int(labels[i]))
-        probs = np.asarray([np.asarray(eval_step(params, *make_inputs(i))) for i in test_idx])
+                params, bstats, opt_state, _ = train_step(
+                    params, bstats, opt_state, f, a, m, int(labels[i]))
+        probs = np.asarray([np.asarray(eval_step(params, bstats, *make_inputs(i)))
+                            for i in test_idx])
         ys = labels[test_idx]
         acc = accuracy(probs, ys)
         _, _, f1, aucv = metrics(probs, ys, "binary" if args.num_classes == 2 else "macro")
         fold_metrics.append((acc, f1, aucv))
         print(f"fold {fi}: acc {acc:.4f} f1 {f1:.4f} auc {aucv:.4f}")
         if args.save_dir:
-            save_fold_params(args.save_dir, "gtn", fi, params,
+            save_fold_params(args.save_dir, "gtn", fi,
+                             {"params": params, "batch_stats": bstats},
                              dict(model="gtn", num_classes=args.num_classes,
                                   hidden=args.hidden, clusters=args.clusters,
                                   in_dim=int(d), cap=int(cap)))

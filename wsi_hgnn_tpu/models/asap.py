@@ -241,7 +241,10 @@ class ASAPGCN(nn.Module):
             self.hidden_dim, self.k, name="asap"
         )(g, h, train)
 
-        x = GCNBlock(self.hidden_dim, name="dense_gcn")(
+        # our composition (no reference analog): plain normalized GCN +
+        # ReLU tail, no BatchNorm
+        x = GCNBlock(self.hidden_dim, use_bn=False, relu=True,
+                     name="dense_gcn")(
             pooled, adj, cmask.astype(pooled.dtype), train
         )
         denom = jnp.maximum(cmask.sum(-1, keepdims=True), 1.0)

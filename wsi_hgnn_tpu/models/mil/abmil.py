@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-_NEG_INF = -1e30
+from ...graph.ops import _NEG_INF
 
 
 def _masked_softmax(scores: jax.Array, mask: Optional[jax.Array], axis: int):

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-_NEG_INF = -1e30
+from ...graph.ops import _NEG_INF
 
 
 class IClassifier(nn.Module):
@@ -58,11 +58,17 @@ class BClassifier(nn.Module):
             a = jnp.where(mask[:, None], a, 0.0)
         b = a.T @ v                                  # [C, V]
 
-        # per-class Conv1d(kernel=V) == row-wise weighted sum per class
-        w = self.param("fcc_kernel", nn.initializers.lecun_normal(),
-                       (self.num_classes, b.shape[-1]))
+        # fcc = Conv1d(C, C, kernel_size=V) on B [1, C, V] (dsmil.py:39):
+        # each output logit mixes ALL class channels,
+        # logits[o] = sum_c sum_v W[o, c, v] * B[c, v] + bias[o]
+        w = self.param(
+            "fcc_kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal",
+                                             in_axis=(-2, -1)),
+            (self.num_classes, self.num_classes, b.shape[-1]),
+        )
         bias = self.param("fcc_bias", nn.initializers.zeros, (self.num_classes,))
-        logits = (b * w).sum(-1) + bias              # [C]
+        logits = jnp.einsum("ocv,cv->o", w, b) + bias  # [C]
         return logits[None, :], a, b
 
 

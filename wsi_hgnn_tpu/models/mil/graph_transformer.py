@@ -24,15 +24,55 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over the REAL nodes of a padded [B, N, D] batch — the
+    reference gathers real rows, BatchNorm1d's them, and scatters back
+    (gcn.py:373-388). torch defaults: eps 1e-5, momentum 0.1 (flax
+    convention: running = 0.9*running + 0.1*batch); running_var updates
+    with the unbiased batch variance."""
+
+    momentum: float = 0.9
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, y, mask, use_running_average: bool):
+        d = y.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(d, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(d, jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            m = mask.astype(y.dtype)[..., None]
+            cnt = jnp.maximum(m.sum(), 1.0)
+            mean = (y * m).sum((0, 1)) / cnt
+            var = (((y - mean) ** 2) * m).sum((0, 1)) / cnt
+            if not self.is_initializing():
+                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * unbiased)
+        y = (y - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return y
+
+
 class GCNBlock(nn.Module):
     """Dense masked GCN layer (GTNMIL models/gcn.py:342-396): adj matmul,
-    optional add_self, linear, per-node L2 embedding normalisation, ReLU.
-    BatchNorm is OFF — the reference's GCN wrapper hard-codes `self.bn = 0`
-    (gcn.py:19), so its BN branch never runs."""
+    optional add_self, linear, per-node L2 embedding normalisation, then
+    masked BatchNorm and optionally ReLU. The GTNMIL Classifier builds it
+    with bn=1, relu=0 (GraphTransformer.py:30-34) — so the defaults here
+    are BN ON, ReLU OFF. (gcn.py:19's `bn=0` belongs to AGCNBlock, a
+    wrapper the Classifier never uses.)"""
 
     features: int
     add_self: bool = True
     normalize_embedding: bool = True
+    use_bn: bool = True
+    relu: bool = False
 
     @nn.compact
     def __call__(self, x, adj, mask, train: bool = False):
@@ -45,8 +85,13 @@ class GCNBlock(nn.Module):
             # rsqrt(sum^2 + eps): jnp.linalg.norm has a NaN gradient at the
             # all-zero padding rows
             y = y * jax.lax.rsqrt((y * y).sum(-1, keepdims=True) + 1e-12)
-        y = nn.relu(y) * mask[:, :, None]
-        return y
+        if self.use_bn:
+            y = MaskedBatchNorm(name="bn")(
+                y, mask, use_running_average=not train
+            )
+        if self.relu:
+            y = nn.relu(y)
+        return y * mask[:, :, None]
 
 
 def dense_mincut_pool(x, adj, s, mask):
@@ -151,8 +196,12 @@ def graphcam(model: GraphTransformer, variables, node_feat, adj, mask,
 
     # recompute the pooled cluster tokens (the ViT input)
     x = mask[:, :, None] * node_feat
+    conv_vars = {"params": variables["params"]["conv1"]}
+    stats = variables.get("batch_stats", {}).get("conv1")
+    if stats:
+        conv_vars["batch_stats"] = stats
     x = GCNBlock(model.embed_dim, name="conv1").apply(
-        {"params": variables["params"]["conv1"]}, x, adj, mask
+        conv_vars, x, adj, mask
     )
     s = nn.Dense(model.node_cluster_num, name="pool1").apply(
         {"params": variables["params"]["pool1"]}, x

@@ -33,7 +33,7 @@ from flax import linen as nn
 
 from ...graph import ops as gops
 
-_NEG_INF = -1e30
+from ...graph.ops import _NEG_INF
 _N_RES = 3  # resolution levels {thumbnail 0, low 1, high 2}
 
 
@@ -103,6 +103,13 @@ def build_tree_graph(
     n = off2 + n2
     all_feats = np.concatenate([root_feat, f1, feats], 0)
     all_xy = np.concatenate([root_xy, xy1, coords.astype(np.float64)], 0)
+    # normalise coordinates to [-1, 1] per axis, as the reference does
+    # before pooling (x_y_index * 2 - 1, main_baselines_kfold.py:62):
+    # IHPool's distance adds spatial distance to a tanh fitness in
+    # [-1, 1], so raw tile-grid coordinates would drown the fitness term
+    lo, hi = all_xy.min(0), all_xy.max(0)
+    span = np.maximum(hi - lo, 1e-12)
+    all_xy = (all_xy - lo) / span * 2.0 - 1.0
     node_type = np.concatenate(
         [np.zeros(1, np.int32), np.ones(n1, np.int32), np.full(n2, 2, np.int32)]
     )
@@ -202,7 +209,7 @@ class RAConvLayer(nn.Module):
         msgs = xl[g.src] * coeff[:, :, None]
         msgs = jnp.where(g.edge_mask[:, None, None], msgs, 0.0)
         out = jax.ops.segment_sum(msgs, g.dst, num_segments=n)  # [N, H, C]
-        out = out.reshape(n, h * c) if True else out.mean(1)
+        out = out.reshape(n, h * c)
         out = out + self.param("bias", nn.initializers.zeros, (h * c,))
         return out
 
@@ -233,10 +240,14 @@ class IHPool(nn.Module):
             key_f = jnp.where(valid, f, jnp.inf)
             order = jnp.argsort(key_f)
             n_valid = valid.sum()
-            # k evenly spaced picks over the valid prefix
-            pos = jnp.clip(
-                (jnp.arange(k) * jnp.maximum(n_valid, 1)) // k, 0, n - 1
-            )
+            nv = jnp.maximum(n_valid, 1)
+            # k evenly spaced picks over the valid prefix (distinct when
+            # nv >= k since the stride nv/k >= 1); when nv < k use the
+            # prefix itself — the evenly-spaced formula would duplicate
+            # early centres AND starve later valid nodes
+            even = (jnp.arange(k) * nv) // k
+            prefix = jnp.minimum(jnp.arange(k), nv - 1)
+            pos = jnp.clip(jnp.where(nv >= k, even, prefix), 0, n - 1)
             idx = order[pos]
             ok = jnp.arange(k) < jnp.minimum(k, n_valid)
             return idx, ok

@@ -56,8 +56,16 @@ def kmeans(feats: jax.Array, k: int, iters: int = 20, seed: int = 66):
         new_cent = jnp.where((cnts > 0)[:, None], new_cent, cent)
         return new_cent, assign
 
-    cent, assigns = jax.lax.scan(step, cent, None, length=iters)
-    return cent, assigns[-1]
+    cent, _ = jax.lax.scan(step, cent, None, length=iters)
+    # final assignment AGAINST THE RETURNED centroids (the scan's last
+    # assignment predates its last update; faiss assigns with the final
+    # centroids) — covariance/shift vectors then match the prototypes
+    d2 = (
+        jnp.sum(feats**2, 1, keepdims=True)
+        - 2 * feats @ cent.T
+        + jnp.sum(cent**2, 1)[None, :]
+    )
+    return cent, jnp.argmin(d2, axis=1)
 
 
 def reduce_bag(feats: np.ndarray, num_prototypes: int,

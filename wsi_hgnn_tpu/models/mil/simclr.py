@@ -63,17 +63,28 @@ def augment_pair(key: jax.Array, images: jax.Array,
 
 
 def make_simclr_train_step(encoder_apply: Callable, tx) -> Callable:
-    """Jitted SimCLR step: encoder_apply(params, images, train) -> [B, D]
-    projections; tx is an optax transform."""
+    """Jitted SimCLR step. encoder_apply(params, images) -> [B, D]
+    projections (wrap dropout rngs into the closure if the encoder needs
+    them — see the rng-threaded variant below); tx is an optax transform.
+
+    Pass a 3-arg encoder_apply(params, images, rng) to receive a fresh
+    dropout key per view."""
+    import inspect
+
+    n_args = len(inspect.signature(encoder_apply).parameters)
 
     @jax.jit
     def step(params, opt_state, key, images):
-        k_aug, k_drop = jax.random.split(key)
+        k_aug, k1, k2 = jax.random.split(key, 3)
         v1, v2 = augment_pair(k_aug, images)
 
         def loss_fn(p):
-            z1 = encoder_apply(p, v1)
-            z2 = encoder_apply(p, v2)
+            if n_args >= 3:
+                z1 = encoder_apply(p, v1, k1)
+                z2 = encoder_apply(p, v2, k2)
+            else:
+                z1 = encoder_apply(p, v1)
+                z2 = encoder_apply(p, v2)
             return nt_xent_loss(z1, z2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

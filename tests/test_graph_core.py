@@ -28,7 +28,10 @@ def make_graph(n=5, e=8, d=4, t=3, seed=0, cap_n=16, cap_e=32, self_loops=False)
 def test_bucket_size_policy():
     assert bucket_size(1) == 256
     assert bucket_size(256) == 256
-    assert bucket_size(257) == 512
+    # the 1.5x midpoint exists in EVERY octave, including the first
+    # (docstring policy: waste capped at ~33%)
+    assert bucket_size(257) == 384
+    assert bucket_size(385) == 512
     assert bucket_size(513) == 768
     assert bucket_size(769) == 1024
     # padding waste never exceeds ~50% and buckets are monotone
@@ -254,3 +257,66 @@ def test_sorted_edges_equivalence():
     deg_u = np.asarray(gb.degrees()[1])
     deg_s = np.asarray(gbs.degrees()[1])
     np.testing.assert_allclose(deg_u, deg_s)
+
+
+def test_sorted_softmax_key_monotone_at_full_capacity():
+    """With the real node count == node capacity, sorted padding edges
+    (dst rewritten to the last node) must not break the combo-refined
+    softmax key's monotonicity (indices_are_sorted is an XLA contract)."""
+    from wsi_hgnn_tpu.graph.batch import sort_graph_edges
+
+    rng = np.random.RandomState(9)
+    n, e = 8, 12
+    g = from_arrays(
+        rng.randn(n, 4).astype(np.float32),
+        rng.randint(0, n, e), rng.randint(0, n, e),
+        node_type=rng.randint(0, 3, n), esign=rng.randint(0, 2, e),
+        sim=rng.randn(e), n_node_types=3,
+        node_capacity=n, edge_capacity=16,  # nodes exactly full
+    )
+    gs = sort_graph_edges(g)
+    t = gs.n_node_types
+    n_combo = gs.n_edge_types * t
+    seg = np.asarray(gs.dst) * n_combo + (
+        np.asarray(gs.esign) * t
+        + np.asarray(gs.node_type)[np.asarray(gs.src)]
+    )
+    seg = np.where(np.asarray(gs.edge_mask), seg, n * n_combo - 1)
+    assert np.all(np.diff(seg) >= 0), seg
+    # and the softmax itself is correct (padding has zero probability)
+    scores = jnp.asarray(rng.randn(16).astype(np.float32))
+    out = np.asarray(ops.edge_softmax_by_dst_rel(gs, scores))
+    assert np.all(out[~np.asarray(gs.edge_mask)] == 0)
+    assert np.isfinite(out).all()
+
+
+def test_batch_graphs_preserves_edge_weight():
+    """The explainer's per-edge mask must survive batching (it was
+    silently dropped)."""
+    g1, (f1, s1, d1, *_ ) = make_graph(n=4, e=6, seed=4)
+    ew = np.linspace(0.1, 0.6, 6).astype(np.float32)
+    full = np.zeros(g1.num_edges, np.float32)
+    full[:6] = ew
+    g1 = g1.replace(edge_weight=full)
+    g2, _ = make_graph(n=5, e=7, seed=5)
+    gb = batch_graphs([g1, g2], node_capacity=32, edge_capacity=64)
+    assert gb.edge_weight is not None
+    got = np.asarray(gb.edge_weight)
+    np.testing.assert_allclose(got[:6], ew)
+    np.testing.assert_allclose(got[6:13], 1.0)  # member without a mask
+    np.testing.assert_allclose(got[13:], 0.0)   # padding
+
+
+def test_knn_build_emits_no_self_edges_on_tiny_slides():
+    """A slide with fewer real nodes than k must not gain self-edges from
+    the top_k fallback (the reference's KNN query drops self)."""
+    from wsi_hgnn_tpu.graph.build import build_batch_device
+
+    rng = np.random.RandomState(11)
+    feats = jnp.asarray(rng.randn(1, 8, 4).astype(np.float32))
+    ntypes = jnp.zeros((1, 8), jnp.int32)
+    mask = jnp.asarray((np.arange(8) < 3)[None])  # 3 real nodes, k=4
+    g = build_batch_device(feats, ntypes, mask, radius=5, n_node_types=1)
+    src = np.asarray(g.src); dst = np.asarray(g.dst)
+    em = np.asarray(g.edge_mask)
+    assert not np.any(em & (src == dst))

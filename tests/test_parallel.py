@@ -192,3 +192,57 @@ train: {loss: "CE"}
     assert np.all(np.isfinite(np.asarray(probs_dp)))
     for a, b_ in zip(jax.tree.leaves(new_dp.params), jax.tree.leaves(new_1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-6)
+
+
+def test_dp_step_with_batch_norm_model():
+    """The DP step must thread batch_stats (GIN carries BatchNorm) and
+    use per-device dropout keys — previously it crashed with
+    ScopeCollectionNotFound for any BN model."""
+    from wsi_hgnn_tpu.config import parse_gnn_model, parse_loss, parse_optimizer
+    from wsi_hgnn_tpu.parallel import make_dp_train_step, make_mesh, place_state, shard_stacked
+    from wsi_hgnn_tpu.train.trainer import TrainState
+    from wsi_hgnn_tpu.graph.build import build_batch_device
+
+    model, is_hetero = parse_gnn_model({
+        "name": "GIN", "in_dim": 8, "hidden_dim": 16, "out_dim": 2,
+        "num_layers": 2, "num_mlp_layers": 2, "feat_drop": 0.1,
+        "graph_pooling_type": "sum", "neighbor_pooling_type": "sum",
+        "learn_eps": False,
+    })
+    tx = parse_optimizer({"opt_method": "ADAM", "lr": 1e-3, "weight_decay": 0.0})
+    loss_fcn = parse_loss({"loss": "CE"})
+
+    n_dev, b, n, d = 4, 2, 24, 8
+    rng = np.random.RandomState(3)
+    feats = jnp.asarray(rng.randn(n_dev, b, n, d).astype(np.float32))
+    ntypes = jnp.zeros((n_dev, b, n), jnp.int32)
+    mask = jnp.ones((n_dev, b, n), bool)
+    labels = jnp.asarray(rng.randint(0, 2, (n_dev, b)).astype(np.int32))
+    weights = jnp.ones((n_dev, b), jnp.float32)
+    build = jax.vmap(lambda f, t, m: build_batch_device(
+        f, t, m, 4, 1, add_self_loops=True))
+    graphs = build(feats, ntypes, mask)
+
+    from wsi_hgnn_tpu.graph import to_homogeneous
+    g0 = to_homogeneous(jax.tree.map(lambda x: x[0], graphs))
+    variables = model.init(jax.random.PRNGKey(0), g0)
+    state = TrainState(
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        rng=jax.random.PRNGKey(7), step=jnp.zeros((), jnp.int32),
+    )
+    mesh = make_mesh(n_dev)
+    step = make_dp_train_step(model, tx, loss_fcn, is_hetero, mesh)
+    st = place_state(state, mesh)
+    new_state, loss, probs = step(
+        st, shard_stacked(graphs, mesh), shard_stacked(labels, mesh),
+        shard_stacked(weights, mesh),
+    )
+    assert np.isfinite(float(loss))
+    # the running statistics moved away from their init
+    moved = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(jax.tree.leaves(new_state.batch_stats),
+                        jax.tree.leaves(state.batch_stats))
+    ]
+    assert max(moved) > 0

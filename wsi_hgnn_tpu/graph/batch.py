@@ -81,6 +81,7 @@ def batch_graphs(
 
     b = len(graphs)
     feats, ntys, srcs, dsts, esigns, sims = [], [], [], [], [], []
+    ews, any_ew = [], False
     counts = []
     for g in graphs:
         n = int(np.asarray(g.node_mask).sum())
@@ -92,6 +93,13 @@ def batch_graphs(
         dsts.append(np.asarray(g.dst)[:e])
         esigns.append(np.asarray(g.esign)[:e])
         sims.append(np.asarray(g.sim)[:e])
+        # the explainer's per-edge mask must survive batching (dropping
+        # it would silently run every aggregation unmasked)
+        if g.edge_weight is not None:
+            any_ew = True
+            ews.append(np.asarray(g.edge_weight)[:e])
+        else:
+            ews.append(np.ones(e, np.float32))
 
     n_total = sum(n for n, _ in counts)
     e_total = sum(e for _, e in counts)
@@ -102,6 +110,11 @@ def batch_graphs(
 
     # native C++ packer fast path (one multithreaded pass; see native/)
     from ..native import pack_batch_native
+
+    ew_p = None
+    if any_ew:
+        ew_p = np.zeros(cap_e, np.float32)
+        ew_p[:e_total] = np.concatenate(ews) if ews else []
 
     packed = pack_batch_native(
         feats, ntys, srcs, dsts, esigns, sims, cap_n, cap_e
@@ -118,6 +131,7 @@ def batch_graphs(
             esign=esg_p,
             sim=sim_p,
             edge_mask=emask,
+            edge_weight=ew_p,
             n_graphs=b,
             n_node_types=t,
             n_edge_types=et,

@@ -47,14 +47,18 @@ def build_edges_device(features: jax.Array, radius: int,
     sim = jnp.take_along_axis(gram, idx, axis=1).reshape(-1)  # [N*k]
     esign = (sim > 0).astype(jnp.int32)
 
-    if mask is None:
-        emask = jnp.ones(n * k, dtype=bool)
-    else:
-        emask = mask[src] & mask[dst]
-        src = jnp.where(emask, src, 0)
-        dst = jnp.where(emask, dst, 0)
-        sim = jnp.where(emask, sim, 0.0)
-        esign = jnp.where(emask, esign, 0)
+    # a slide with fewer real nodes than k makes top_k fall back to
+    # big-distance candidates that can include the query itself — the
+    # reference's HNSW query drops self (graph_constructor.py:273), so
+    # mask self-edges out of the KNN edge set (the homo path adds its
+    # explicit self loops separately)
+    emask = src != dst
+    if mask is not None:
+        emask = emask & mask[src] & mask[dst]
+    src = jnp.where(emask, src, 0)
+    dst = jnp.where(emask, dst, 0)
+    sim = jnp.where(emask, sim, 0.0)
+    esign = jnp.where(emask, esign, 0)
     return src, dst, esign, sim, emask
 
 

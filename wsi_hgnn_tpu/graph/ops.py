@@ -85,7 +85,13 @@ def edge_softmax_by_dst_rel(g: TypedGraph, scores: jax.Array) -> jax.Array:
     combo = g.esign * t + g.node_type[g.src]  # (esign, src_type)
     n_combo = g.n_edge_types * t
     seg = g.dst * n_combo + combo
-    # seg is exactly the sort key of batch.sort_graph_edges
+    # seg is exactly the sort key of batch.sort_graph_edges for REAL
+    # edges; padding edges (sorted to the tail with dst rewritten to the
+    # last node slot) could otherwise carry a combo SMALLER than real
+    # edges into that node — breaking the indices_are_sorted contract at
+    # exactly-full node capacity — so pin them to the maximum segment id
+    # (their contributions are masked, sharing a segment is harmless)
+    seg = jnp.where(g.edge_mask, seg, g.num_nodes * n_combo - 1)
     return segment_softmax(
         scores, seg, num_segments=g.num_nodes * n_combo, mask=g.edge_mask,
         indices_are_sorted=g.edges_sorted, axis_name=g.edge_axis,
@@ -146,10 +152,16 @@ def copy_u_max(g: TypedGraph, node_vals: jax.Array) -> jax.Array:
         msgs, g.dst, num_segments=g.num_nodes, indices_are_sorted=g.edges_sorted
     )
     if g.edge_axis is not None:
-        # differentiable cross-shard max: all_gather + max (pmax has no
-        # differentiation rule; here the max IS the output, unlike the
-        # softmax stabiliser)
-        out = jax.lax.all_gather(out, g.edge_axis).max(0)
+        # differentiable cross-shard max. pmax has no differentiation
+        # rule and all_gather's output fails shard_map's replication
+        # inference, so: take the (stop-gradient) global max for the
+        # VALUE and route the GRADIENT through a psum over the shards
+        # holding it (ties split evenly — the subgradient convention)
+        gmax = jax.lax.pmax(jax.lax.stop_gradient(out), g.edge_axis)
+        is_max = (out >= gmax) & (out > _NEG_INF / 2)
+        num = jax.lax.psum(jnp.where(is_max, out, 0.0), g.edge_axis)
+        cnt = jax.lax.psum(is_max.astype(out.dtype), g.edge_axis)
+        out = jnp.where(cnt > 0, num / jnp.maximum(cnt, 1.0), _NEG_INF)
     return jnp.where(out <= _NEG_INF / 2, 0.0, out)
 
 

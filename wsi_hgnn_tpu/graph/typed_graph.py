@@ -186,7 +186,7 @@ def bucket_size(n: int, *, base: int = 256) -> int:
     n = max(int(n), 1)
     cap = base
     while cap < n:
-        if cap + cap // 2 >= n and cap >= base * 2:
+        if cap + cap // 2 >= n:
             return cap + cap // 2
         cap *= 2
     return cap

@@ -71,6 +71,9 @@ def build_lattice_device(features, node_types, mask, radius: int,
     emask = mask[:, :, None] & jnp.take_along_axis(
         jnp.repeat(mask[:, None, :], features.shape[1], 1), idx, axis=2
     )
+    # tiny slides (n_real <= k) make top_k fall back to the query itself;
+    # the reference's KNN query drops self (graph_constructor.py:273)
+    emask = emask & (idx != jnp.arange(features.shape[1])[None, :, None])
     del n_node_types  # typing lives on the models (NamedTuple leaves trace)
     return LatticeGraph(features, node_types.astype(jnp.int32), mask,
                         idx, sim, esign, emask)

@@ -27,28 +27,52 @@ def _make_dp_step(model, tx, loss_fcn: Callable, prepare_one: Callable):
         rng, aug_key, drop_key = jax.random.split(state.rng, 3)
         n_dev = labels.shape[0]
         aug_keys = jax.random.split(aug_key, n_dev)
+        # per-device dropout keys: a single shared key would apply
+        # bit-identical masks on every device, unlike the equivalent
+        # single-chip batch
+        drop_keys = jax.random.split(drop_key, n_dev)
+        # BatchNorm-carrying models (GIN, the GTN MIL block) must run with
+        # a mutable batch_stats collection, like the single-device step
+        has_bs = bool(jax.tree.leaves(state.batch_stats))
 
-        def forward_one(params, g, key):
-            g = prepare_one(g, key)
-            return model.apply(
-                {"params": params}, g, train=True, rngs={"dropout": drop_key}
+        def forward_one(params, bstats, g, k_aug, k_drop):
+            g = prepare_one(g, k_aug)
+            if has_bs:
+                logits, upd = model.apply(
+                    {"params": params, "batch_stats": bstats}, g,
+                    train=True, rngs={"dropout": k_drop},
+                    mutable=["batch_stats"],
+                )
+                return logits, upd["batch_stats"]
+            return (
+                model.apply(
+                    {"params": params}, g, train=True,
+                    rngs={"dropout": k_drop},
+                ),
+                bstats,
             )
 
         def loss_fn(params):
-            logits = jax.vmap(forward_one, in_axes=(None, 0, 0))(
-                params, graphs, aug_keys
-            )  # [n_dev, B, C]
+            logits, new_bs = jax.vmap(
+                forward_one, in_axes=(None, None, 0, 0, 0)
+            )(params, state.batch_stats, graphs, aug_keys, drop_keys)
             flat_logits = logits.reshape(-1, logits.shape[-1])
             loss = loss_fcn(flat_logits, labels.reshape(-1), weights.reshape(-1))
-            return loss, logits
+            return loss, (logits, new_bs)
 
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        if has_bs:
+            # cross-replica sync: average the per-device running stats
+            new_bs = jax.tree.map(lambda x: x.mean(0), new_bs)
+        else:
+            new_bs = state.batch_stats
         new_state = state.replace(
-            params=new_params, opt_state=new_opt, rng=rng, step=state.step + 1
+            params=new_params, batch_stats=new_bs, opt_state=new_opt,
+            rng=rng, step=state.step + 1
         )
         return new_state, loss, jax.nn.softmax(logits)
 

@@ -56,7 +56,12 @@ def stack_graphs(graphs: Sequence[TypedGraph]) -> TypedGraph:
     pure data parallelism with zero resharding.
     """
     g0 = graphs[0]
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *graphs)
+    # host numpy stacking (loader leaves are host numpy by contract —
+    # jnp.stack would commit to the default device, and shard_stacked's
+    # device_put would then transfer a second time)
+    stacked = jax.tree.map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *graphs
+    )
     return stacked.replace(
         n_graphs=g0.n_graphs,
         n_node_types=g0.n_node_types,

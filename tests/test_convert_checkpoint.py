@@ -148,12 +148,9 @@ def test_hetrgcn_round_trip():
 def test_gcn_round_trip_and_unused_params_dropped():
     model = models.GCN(in_dim=D, hidden_dim=H, out_dim=2, n_layers=2,
                        graph_pooling_type="mean")
-    params = model.init(jax.random.PRNGKey(3), to_homogeneous(graph()))["params"]
-    # DGL GraphConv has ONE bias; our layer's internal Dense bias maps to 0
-    params = jax.tree.map(np.asarray, params)
-    for i in range(2):
-        params[f"conv_{i}"]["weight"]["bias"] = np.zeros(
-            params[f"conv_{i}"]["weight"]["bias"].shape, np.float32)
+    params = jax.tree.map(
+        np.asarray,
+        model.init(jax.random.PRNGKey(3), to_homogeneous(graph()))["params"])
 
     sd = {}
     for i in range(2):
@@ -299,19 +296,12 @@ def test_ntpool_round_trip():
     })
     params = jax.tree.map(
         np.asarray, model.init(jax.random.PRNGKey(7), graph())["params"])
-    for i in range(2):  # DGL GraphConv has one bias; internal Dense bias -> 0
-        params[f"conv_{i}"]["weight"]["bias"] = np.zeros(
-            params[f"conv_{i}"]["weight"]["bias"].shape, np.float32)
 
     sd = {}
     for i in range(2):
         sd[f"layers.{i}.weight"] = np.asarray(params[f"conv_{i}"]["weight"]["kernel"])
         sd[f"layers.{i}.bias"] = np.asarray(params[f"conv_{i}"]["bias"])
-        for t in range(T):
-            sd[f"linears_prediction.{t}.{i}.weight"] = (
-                np.asarray(params[f"pred_{i}_kernel"][t]).T)
-            sd[f"linears_prediction.{t}.{i}.bias"] = (
-                np.asarray(params[f"pred_{i}_bias"][t]))
+        typed_to_sd(sd, f"linears_prediction.{{t}}.{i}", params[f"pred_{i}"])
     # unused classify head dropped
     sd["classify.weight"] = np.zeros((2, H), np.float32)
     sd["classify.bias"] = np.zeros(2, np.float32)
@@ -332,9 +322,6 @@ def test_gcn_att_pooling_round_trip():
     })
     params = jax.tree.map(
         np.asarray, model.init(jax.random.PRNGKey(8), to_homogeneous(graph()))["params"])
-    for i in range(2):
-        params[f"conv_{i}"]["weight"]["bias"] = np.zeros(
-            params[f"conv_{i}"]["weight"]["bias"].shape, np.float32)
 
     sd = {}
     for i in range(2):

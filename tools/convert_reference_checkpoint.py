@@ -180,14 +180,10 @@ def convert_hetrgcn(sd: Dict, n_layers: int, n_types: int,
 
 def _graphconv(sd: Dict, i: int) -> Dict:
     """DGL GraphConv `layers.{i}` -> conv_{i} (weight [in, out] is NOT
-    transposed; our layer's internal Dense bias maps to zero — DGL has
-    one bias)."""
+    transposed; one post-aggregation bias, like DGL)."""
     w = np.asarray(sd[f"layers.{i}.weight"], np.float32)
     b = np.asarray(sd[f"layers.{i}.bias"], np.float32)
-    return {
-        "weight": {"kernel": w, "bias": np.zeros(w.shape[1], np.float32)},
-        "bias": b,
-    }
+    return {"weight": {"kernel": w}, "bias": b}
 
 
 def convert_gcn(sd: Dict, n_layers: int, pooling: str = "att") -> Dict:
@@ -303,11 +299,9 @@ def convert_ntpool(sd: Dict, n_layers: int, n_types: int) -> Dict:
     for i in range(n_layers):
         params[f"conv_{i}"] = _graphconv(sd, i)
     for i in range(n_layers):
-        ks, bs = zip(*(
-            _lin(sd, f"linears_prediction.{t}.{i}") for t in range(n_types)
-        ))
-        params[f"pred_{i}_kernel"] = np.stack(ks)
-        params[f"pred_{i}_bias"] = np.stack(bs)
+        params[f"pred_{i}"] = _typed(
+            sd, f"linears_prediction.{{t}}.{i}", n_types
+        )
     return params
 
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..graph import TypedGraph, ops
-from .layers import MaskedBatchNorm, Pool, TypedDense
+from .layers import MaskedBatchNorm, Pool, TypedDense, TypedHeads
 
 
 class GraphConvLayer(nn.Module):
@@ -42,7 +42,9 @@ class GraphConvLayer(nn.Module):
         c_src = jax.lax.rsqrt(jnp.maximum(out_deg, 1.0))
         c_dst = jax.lax.rsqrt(jnp.maximum(in_deg, 1.0))
 
-        h = nn.Dense(self.features, name="weight")(h)
+        # DGL GraphConv has a single (post-aggregation) bias; the
+        # projection itself is bias-free
+        h = nn.Dense(self.features, use_bias=False, name="weight")(h)
         msg_in = h * c_src[:, None]
         agg = ops.copy_u_sum(g, msg_in)
         if self.implicit_self_loops:
@@ -122,7 +124,14 @@ class GATConvLayer(nn.Module):
         out = ops.u_mul_e_sum(g, z, alpha[:, :, None])  # [N, H, F]
 
         if self.residual:
-            res = nn.Dense(self.num_heads * self.features, use_bias=False, name="res_fc")(h_in)
+            # DGL GATConv semantics: the residual reads the FEAT-DROPPED
+            # input, and is the Identity (no res_fc weights) when the
+            # input width already equals num_heads * out_feats
+            if h.shape[-1] == self.num_heads * self.features:
+                res = h
+            else:
+                res = nn.Dense(self.num_heads * self.features,
+                               use_bias=False, name="res_fc")(h)
             out = out + res.reshape(-1, self.num_heads, self.features)
         out = out + self.param(
             "bias", nn.initializers.zeros, (self.num_heads, self.features)
@@ -305,12 +314,7 @@ class NTPoolGCN(nn.Module):
                     f"per-ntype pooling {self.graph_pooling_type!r}"
                 )
             pooled = pooled.reshape(g.n_graphs, t, -1)
-            w = self.param(
-                f"pred_{i}_kernel", nn.initializers.lecun_normal(),
-                (t, pooled.shape[-1], self.out_dim),
-            )
-            b = self.param(f"pred_{i}_bias", nn.initializers.zeros, (t, self.out_dim))
-            heads = jnp.einsum("btd,tdo->bto", pooled, w) + b[None]
+            heads = TypedHeads(t, self.out_dim, name=f"pred_{i}")(pooled)
             hg = hg + (heads * present[None, :, None]).sum(1)
             h = GraphConvLayer(
                 self.hidden_dim,

@@ -26,7 +26,6 @@ class Pool(nn.Module):
     """
 
     kind: str
-    gate_dim: Optional[int] = None  # input dim, needed only for 'att'
 
     @nn.compact
     def __call__(self, g: TypedGraph, feat: jax.Array, ntype: Optional[int] = None):
@@ -133,12 +132,13 @@ class MaskedBatchNorm(nn.Module):
     polluted by padded rows, so mean/var are mask-weighted.
     """
 
-    use_running_average: bool = False
     momentum: float = 0.9
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array, train: bool) -> jax.Array:
+        # x [..., D] with mask over the leading axes ([N] flat graphs, or
+        # [B, N] dense-padded batches — the GTN MIL block)
         d = x.shape[-1]
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(d))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(d))
@@ -146,13 +146,16 @@ class MaskedBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (d,))
 
         if train:
-            m = mask.astype(x.dtype)[:, None]
+            m = mask.astype(x.dtype)[..., None]
+            axes = tuple(range(x.ndim - 1))
             cnt = jnp.maximum(m.sum(), 1.0)
-            mean = (x * m).sum(0) / cnt
-            var = ((x - mean) ** 2 * m).sum(0) / cnt
+            mean = (x * m).sum(axes) / cnt
+            var = ((x - mean) ** 2 * m).sum(axes) / cnt
             if not self.is_initializing():
+                # torch stores the UNBIASED estimator in running_var
+                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
-                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * unbiased
         else:
             mean, var = ra_mean.value, ra_var.value
 

@@ -23,41 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-
-class MaskedBatchNorm(nn.Module):
-    """BatchNorm1d over the REAL nodes of a padded [B, N, D] batch — the
-    reference gathers real rows, BatchNorm1d's them, and scatters back
-    (gcn.py:373-388). torch defaults: eps 1e-5, momentum 0.1 (flax
-    convention: running = 0.9*running + 0.1*batch); running_var updates
-    with the unbiased batch variance."""
-
-    momentum: float = 0.9
-    eps: float = 1e-5
-
-    @nn.compact
-    def __call__(self, y, mask, use_running_average: bool):
-        d = y.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (d,))
-        bias = self.param("bias", nn.initializers.zeros, (d,))
-        ra_mean = self.variable("batch_stats", "mean",
-                                lambda: jnp.zeros(d, jnp.float32))
-        ra_var = self.variable("batch_stats", "var",
-                               lambda: jnp.ones(d, jnp.float32))
-        if use_running_average:
-            mean, var = ra_mean.value, ra_var.value
-        else:
-            m = mask.astype(y.dtype)[..., None]
-            cnt = jnp.maximum(m.sum(), 1.0)
-            mean = (y * m).sum((0, 1)) / cnt
-            var = (((y - mean) ** 2) * m).sum((0, 1)) / cnt
-            if not self.is_initializing():
-                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
-                ra_mean.value = (self.momentum * ra_mean.value
-                                 + (1 - self.momentum) * mean)
-                ra_var.value = (self.momentum * ra_var.value
-                                + (1 - self.momentum) * unbiased)
-        y = (y - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
-        return y
+from ..layers import MaskedBatchNorm
 
 
 class GCNBlock(nn.Module):
@@ -86,9 +52,10 @@ class GCNBlock(nn.Module):
             # all-zero padding rows
             y = y * jax.lax.rsqrt((y * y).sum(-1, keepdims=True) + 1e-12)
         if self.use_bn:
-            y = MaskedBatchNorm(name="bn")(
-                y, mask, use_running_average=not train
-            )
+            # the shared masked BatchNorm (layers.py) — the reference
+            # gathers real rows, BatchNorm1d's them, and scatters back
+            # (gcn.py:373-388)
+            y = MaskedBatchNorm(name="bn")(y, mask.astype(bool), train)
         if self.relu:
             y = nn.relu(y)
         return y * mask[:, :, None]

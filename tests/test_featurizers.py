@@ -285,3 +285,22 @@ def test_effnetv2_s_runs():
     variables = model.init(jax.random.PRNGKey(0), x)
     out = model.apply(variables, x, train=False)
     assert out.shape == (1, 10)
+
+
+def test_efficientnet_convert_skips_mismatched_fc():
+    """The stock ImageNet checkpoint carries a 1000-way _fc; converting for
+    our 1024-d feature head must skip it (the reference's from_pretrained
+    re-inits fc), not crash merge_into."""
+    rng = np.random.RandomState(0)
+    sd = {
+        "_conv_stem.weight": rng.randn(48, 3, 3, 3).astype(np.float32),
+        "_fc.weight": rng.randn(1000, 1792).astype(np.float32),
+        "_fc.bias": rng.randn(1000).astype(np.float32),
+    }
+    out = convert.efficientnet_torch_to_flax(sd, num_classes=1024)
+    assert "fc" not in out["params"]
+    # a MATCHING head converts
+    sd["_fc.weight"] = rng.randn(1024, 1792).astype(np.float32)
+    sd["_fc.bias"] = rng.randn(1024).astype(np.float32)
+    out = convert.efficientnet_torch_to_flax(sd, num_classes=1024)
+    assert out["params"]["fc"]["kernel"].shape == (1792, 1024)

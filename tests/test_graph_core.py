@@ -320,3 +320,18 @@ def test_knn_build_emits_no_self_edges_on_tiny_slides():
     src = np.asarray(g.src); dst = np.asarray(g.dst)
     em = np.asarray(g.edge_mask)
     assert not np.any(em & (src == dst))
+
+
+def test_native_packer_rejects_mixed_feature_dims():
+    """Mixed feature dims must raise before raw pointers reach the C++
+    packer (an out-of-bounds memcpy would corrupt rows silently)."""
+    from wsi_hgnn_tpu.native import get_lib, pack_batch_native
+
+    if get_lib() is None:
+        pytest.skip("native packer unavailable")
+    f1 = np.zeros((3, 8), np.float32)
+    f2 = np.zeros((3, 4), np.float32)
+    ints = [np.zeros(3, np.int32)] * 2
+    with pytest.raises(ValueError, match="feature dim"):
+        pack_batch_native([f1, f2], ints, ints, ints, ints,
+                          [np.zeros(3, np.float32)] * 2, 16, 16)

@@ -423,3 +423,22 @@ def test_stacked_hetero_eval_matches_per_slide_loop(tmp_path):
         logits = model.apply(variables, g, train=False)
         want.append(np.asarray(jax.nn.softmax(logits))[0])
     np.testing.assert_allclose(got, np.stack(want), rtol=1e-4, atol=1e-5)
+
+
+def test_prefetch_worker_exits_when_consumer_abandons():
+    """Breaking out of a loader loop mid-epoch must release the prefetch
+    worker (it would otherwise block forever on the full queue, pinning
+    packed batches)."""
+    import threading
+    import time
+
+    from wsi_hgnn_tpu.data.loader import prefetched_batches
+
+    before = threading.active_count()
+    it = prefetched_batches(range(50), lambda i: i, prefetch=1)
+    assert next(it) == 0
+    it.close()  # consumer abandons (break / islice semantics)
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before

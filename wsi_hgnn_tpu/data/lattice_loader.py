@@ -48,20 +48,9 @@ def slide_regular_k(g: TypedGraph) -> Optional[int]:
 
 def probe_lattice(dataset) -> Optional[Tuple[int, int]]:
     """(k, node_capacity) if every graph in the dataset is k-regular with
-    the same k — the lattice-trainability test. One full scan (the same
-    cost as data.loader.dataset_capacities)."""
-    k = None
-    max_n = 0
-    for i in range(len(dataset)):
-        g = dataset[i][0]
-        ki = slide_regular_k(g)
-        if ki is None or (k is not None and ki != k):
-            return None
-        k = ki
-        max_n = max(max_n, int(np.asarray(g.node_mask).sum()))
-    if k is None:
-        return None
-    return k, bucket_size(max_n)
+    the same k — the lattice-trainability test. Delegates to the fused
+    scan so the regularity invariants live in ONE place."""
+    return probe_lattice_and_capacities(dataset, 1)[2]
 
 
 def probe_lattice_and_capacities(dataset, batch_size: int,

@@ -37,24 +37,41 @@ def prefetched_batches(batches: Sequence, make_batch, prefetch: int):
 
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     stop = object()
+    cancel = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that gives up when the consumer abandoned the
+        # generator (break / islice mid-epoch) — a plain q.put would
+        # block the worker forever, pinning packed batches in memory
+        while not cancel.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for b in batches:
-                q.put(make_batch(b))
-            q.put(stop)
+                if not _put(make_batch(b)):
+                    return
+            _put(stop)
         except BaseException as e:  # pragma: no cover - exercised in tests
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is stop:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        cancel.set()
 
 
 class GraphLoader:

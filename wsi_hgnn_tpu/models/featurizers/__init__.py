@@ -204,7 +204,8 @@ def make_cnn_encoder(name: str, config: Dict, hovernet_config: Dict,
         if ckpt and os.path.exists(str(ckpt)):
             sd = convert.load_torch_state_dict(ckpt)
             variables = convert.merge_into(
-                variables, convert.efficientnet_torch_to_flax(sd)
+                variables,
+                convert.efficientnet_torch_to_flax(sd, num_classes=feat_dim),
             )
 
         def feat_part(imgs):

@@ -19,7 +19,7 @@ running_mean/var -> batch_stats.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Iterable, List, Tuple
+from typing import Any, Dict, Iterable, List, Optional, Tuple
 
 import numpy as np
 
@@ -241,11 +241,13 @@ def load_kimianet(path) -> Dict:
 # --------------------------------------------------------------------- #
 # EfficientNet (efficientnet_pytorch naming)
 # --------------------------------------------------------------------- #
-def efficientnet_torch_to_flax(sd: Dict[str, np.ndarray]) -> Dict:
+def efficientnet_torch_to_flax(sd: Dict[str, np.ndarray],
+                               num_classes: Optional[int] = None) -> Dict:
     """efficientnet_pytorch state dict (_conv_stem/_blocks.N._*/_fc) ->
     featurizers.efficientnet.EfficientNet trees. The reference's fc is
     freshly initialised (from_pretrained(num_classes=1024) re-inits it), so
-    an absent/mismatched _fc is simply skipped."""
+    an absent/mismatched _fc is simply skipped (pass num_classes to accept
+    a matching head)."""
     sd = strip_dataparallel(sd)
     params: Dict = {}
     stats: Dict = {}
@@ -277,9 +279,13 @@ def efficientnet_torch_to_flax(sd: Dict[str, np.ndarray]) -> Dict:
         i += 1
     conv(["conv_head"], "_conv_head")
     bn(["bn_head"], "_bn1")
-    if "_fc.weight" in sd:
+    if "_fc.weight" in sd and num_classes is not None and int(
+            sd["_fc.weight"].shape[0]) == num_classes:
         _set(params, ["fc", "kernel"], linear_w(sd["_fc.weight"]))
         _set(params, ["fc", "bias"], sd["_fc.bias"])
+    # a mismatched _fc (e.g. the stock 1000-way ImageNet head vs our
+    # 1024-d feature head) is skipped — the reference from_pretrained
+    # (num_classes=1024) drops the fc weights too
     return {"params": params, "batch_stats": stats}
 
 
@@ -295,7 +301,10 @@ def merge_into(variables: Dict, converted: Dict) -> Dict:
                 raise ValueError(
                     f"shape mismatch {np.shape(init)} vs {np.shape(conv)}"
                 )
-            return np.asarray(conv, dtype=np.asarray(init).dtype)
+            # read dtype/shape without materialising the init leaf on the
+            # host — np.asarray(init) would fetch every parameter through
+            # the TPU relay (and the first D2H degrades later dispatches)
+            return np.asarray(conv, dtype=init.dtype)
         out = dict(init)
         for k, v in conv.items():
             if k not in init:

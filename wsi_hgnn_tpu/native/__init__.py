@@ -25,11 +25,26 @@ _tried = False
 def _build() -> Optional[ctypes.CDLL]:
     try:
         if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-                 str(_SRC), "-o", str(_SO)],
-                check=True, capture_output=True,
-            )
+            # compile to a process-private temp and rename into place:
+            # concurrent processes would otherwise race the linker on the
+            # shared output path (one can dlopen a half-written file)
+            tmp = _SO.with_name(f"_wsipack.{os.getpid()}.tmp.so")
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     "-pthread", str(_SRC), "-o", str(tmp)],
+                    check=True, capture_output=True,
+                )
+                os.replace(tmp, _SO)
+            except (OSError, subprocess.CalledProcessError):
+                try:
+                    tmp.unlink(missing_ok=True)
+                except OSError:
+                    pass
+                # no toolchain (or a failed rebuild): a stale-but-working
+                # .so beats losing the native path entirely
+                if not _SO.exists():
+                    return None
         return ctypes.CDLL(str(_SO))
     except (OSError, subprocess.CalledProcessError):
         return None
@@ -78,6 +93,19 @@ def pack_batch_native(
         return None
     b = len(feats)
     d = feats[0].shape[1]
+    # validate BEFORE handing raw pointers to C++ — a mixed-dimension
+    # cohort would make the memcpy read out of bounds where the NumPy
+    # fallback raises cleanly
+    for i in range(b):
+        if feats[i].ndim != 2 or feats[i].shape[1] != d:
+            raise ValueError(
+                f"graph {i}: feature dim {feats[i].shape} != [*, {d}] — "
+                "all graphs in a batch must share one feature dimension"
+            )
+        n_i, e_i = feats[i].shape[0], srcs[i].shape[0]
+        if (node_types[i].shape[0] != n_i or dsts[i].shape[0] != e_i
+                or esigns[i].shape[0] != e_i or sims[i].shape[0] != e_i):
+            raise ValueError(f"graph {i}: inconsistent node/edge array lengths")
     feats = [np.ascontiguousarray(f, np.float32) for f in feats]
     node_types = [np.ascontiguousarray(t, np.int32) for t in node_types]
     srcs = [np.ascontiguousarray(s, np.int32) for s in srcs]

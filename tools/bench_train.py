@@ -27,7 +27,7 @@ V5E_F32_PEAK = 49e12
 
 
 def main(batch: int = 2, lattice: bool = False, agg_dtype: str = "float32",
-         agg_impl: str = "onehot", typed_impl: str = "onehot"):
+         agg_impl: str = "onehot", typed_impl: str = "ragged"):
     import jax
     import jax.numpy as jnp
 
@@ -121,11 +121,13 @@ if __name__ == "__main__":
     lattice = "--lattice" in args
     bf16_agg = "--bf16-agg" in args
     sorted_agg = "--sorted" in args
-    ragged = "--ragged" in args  # grouped-GEMM typed projections
+    ragged = "--ragged" in args  # grouped-GEMM typed projections (default)
+    onehot_typed = "--onehot-typed" in args  # the pre-round-3 formulation
     args = [a for a in args
-            if a not in ("--lattice", "--bf16-agg", "--sorted", "--ragged")]
+            if a not in ("--lattice", "--bf16-agg", "--sorted", "--ragged",
+                         "--onehot-typed")]
     for b in [int(a) for a in args] or [2, 4, 8]:
         main(b, lattice=lattice,
              agg_dtype="bfloat16" if bf16_agg else "float32",
              agg_impl="sorted" if sorted_agg else "onehot",
-             typed_impl="ragged" if ragged else "onehot")
+             typed_impl="onehot" if onehot_typed else "ragged")

@@ -213,11 +213,12 @@ def parse_lattice_twin(config_gnn: dict):
         n_node_types=config_gnn["n_node_types"],
         dropout=config_gnn["feat_drop"],
         graph_pooling_type=pooling,
-        # typed-projection formulation: 'onehot' (all-T einsum + select,
-        # the measured default) | 'ragged' (type-sorted grouped GEMM,
-        # ops.typed_linear_ragged) — an extension key absent from the
+        # typed-projection formulation: 'ragged' (type-sorted grouped GEMM,
+        # ops.typed_linear_ragged — measured 1.1-1.5x over 'onehot' on the
+        # b2/4/8 TPU train ladder, PERF_NOTES round-3 cont.) | 'onehot'
+        # (all-T einsum + select) — an extension key absent from the
         # reference's YAML surface, so shipped configs stay identical
-        typed_impl=str(config_gnn.get("typed_impl", "onehot")),
+        typed_impl=str(config_gnn.get("typed_impl", "ragged")),
     )
 
 

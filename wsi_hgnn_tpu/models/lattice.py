@@ -214,7 +214,7 @@ class HEATLayerLattice(nn.Module):
     # | 'sorted' (O(E) gather + sorted segment_sum over dst-sorted edges)
     agg_impl: str = "onehot"
     # typed-projection formulation (layers.TypedDense impl switch)
-    typed_impl: str = "onehot"
+    typed_impl: str = "ragged"
 
     @nn.compact
     def __call__(self, g: LatticeGraph, h: jax.Array, dst_denom,
@@ -367,7 +367,9 @@ class HEATNet4Lattice(nn.Module):
     embed_dim: int = 256
     agg_dtype: str = "float32"
     agg_impl: str = "onehot"
-    typed_impl: str = "onehot"
+    # 'ragged' (type-sorted grouped GEMM) measured 1.1-1.5x over 'onehot'
+    # across the b2/4/8 train ladder (PERF_NOTES round-3 cont.)
+    typed_impl: str = "ragged"
     # 'batch': occupancy over the whole batched graph (the reference's
     # batched TRAINING semantics) | 'graph': per-slide occupancy (the
     # reference's one-at-a-time EVAL semantics; grouping-invariant, used
@@ -431,7 +433,7 @@ class HEATNet2Lattice(nn.Module):
     graph_pooling_type: str = "mean"
     agg_dtype: str = "float32"
     agg_impl: str = "onehot"
-    typed_impl: str = "onehot"
+    typed_impl: str = "ragged"  # see HEATNet4Lattice
     presence: str = "batch"  # see HEATNet4Lattice
 
     @nn.compact

@@ -51,9 +51,10 @@ class TypedDense(nn.Module):
 
     n_types: int
     features: int
-    # 'onehot': all-T einsum + one-hot select (the r3 default);
     # 'ragged': type-sorted grouped GEMM (ops.typed_linear_ragged) — no
-    # [T, N, H] intermediate; pass a shared ops.TypeSort via `tsort`
+    # [T, N, H] intermediate, the measured TPU winner (lattice default);
+    # pass a shared ops.TypeSort via `tsort`.
+    # 'onehot': all-T einsum + one-hot select (hetero-zoo default).
     impl: str = "onehot"
 
     @nn.compact
@@ -67,7 +68,14 @@ class TypedDense(nn.Module):
         )
         b = self.param("bias", nn.initializers.zeros, (self.n_types, self.features))
         if self.impl == "ragged":
-            return ops.typed_linear_ragged(feat, node_type, w, b, tsort)
+            try:
+                return ops.typed_linear_ragged(feat, node_type, w, b, tsort)
+            except NotImplementedError:
+                # jax.lax.ragged_dot only batches over dim 0, so tracing
+                # under an outer vmap (the DP step maps the device axis)
+                # raises NYI — fall through to the vmap-polymorphic
+                # one-hot form there; the unbatched hot paths keep ragged
+                pass
         return ops.typed_linear(feat, node_type, w, b)
 
 

@@ -82,7 +82,8 @@ def measure_tpu() -> float:
     # kernels, in-place concat), equality-tested against the flax path.
     # The lattice aggregation stays on the shared one-hot GEMM — the
     # measured winner over both the Pallas segment kernel and the O(E)
-    # sorted-segment formulation (PERF_NOTES round-3 ladder)
+    # sorted-segment formulation — while the typed projections run the
+    # ragged grouped GEMM (PERF_NOTES round-3 ladders)
     heat = HEATNet4Lattice(
         in_dim=FEAT_DIM, hidden_dim=HIDDEN, out_dim=2, n_layers=2, n_heads=4,
         n_node_types=N_TYPES, dropout=0.0,

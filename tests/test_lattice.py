@@ -118,14 +118,15 @@ def test_typed_linear_ragged_matches_onehot():
 
 
 def test_lattice_ragged_typed_matches_onehot_model():
-    """typed_impl='ragged' == the default on the full HEATNet4 lattice
-    forward and its parameter gradients, same params."""
+    """typed_impl='ragged' (the default) == 'onehot' on the full HEATNet4
+    lattice forward and its parameter gradients, same params."""
     feats, ntypes, mask = data(8)
     g_l = build_lattice_device(feats, ntypes, mask, R, T)
     kw = dict(in_dim=D, hidden_dim=32, out_dim=3, n_layers=2, n_heads=2,
               n_node_types=T, dropout=0.0)
     params = HEATNet4Lattice(**kw).init(jax.random.PRNGKey(9), g_l)
-    ref = np.asarray(HEATNet4Lattice(**kw).apply(params, g_l, train=False))
+    ref = np.asarray(HEATNet4Lattice(**kw, typed_impl="onehot").apply(
+        params, g_l, train=False))
     out = np.asarray(
         HEATNet4Lattice(**kw, typed_impl="ragged").apply(
             params, g_l, train=False)

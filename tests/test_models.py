@@ -343,3 +343,30 @@ GNN:
     params = model.init(jax.random.PRNGKey(0), g)
     out = model.apply(params, g, train=False)
     assert out.shape == (1, 2)
+
+
+def test_hetero_heat_ragged_typed_matches_onehot():
+    """typed_impl='ragged' == 'onehot' on the TypedGraph HEATNet4/HEATNet2
+    forwards and their parameter gradients, same params (the grouped-GEMM
+    projection is a pure reformulation — see ops.typed_linear_ragged)."""
+    g, _ = het_graph(n=14, e=48, d=8, seed=3)
+    for cls in (models.HEATNet4, models.HEATNet2):
+        kw = dict(in_dim=8, hidden_dim=16, out_dim=3, n_layers=2, n_heads=2,
+                  n_node_types=T, dropout=0.0)
+        params = cls(**kw).init(jax.random.PRNGKey(7), g)
+        ref = np.asarray(cls(**kw, typed_impl="onehot").apply(
+            params, g, train=False))
+        out = np.asarray(cls(**kw, typed_impl="ragged").apply(
+            params, g, train=False))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+        def loss(p, impl, _cls=cls, _kw=kw):
+            return _cls(**_kw, typed_impl=impl).apply(p, g, train=False).sum()
+
+        g_ref = jax.grad(loss)(params, "onehot")
+        g_rag = jax.grad(loss)(params, "ragged")
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-5),
+            g_ref, g_rag,
+        )

@@ -53,10 +53,11 @@ def bench_agg():
     g0 = build_lattice_device(pool[0], nty, mask, radius, t)
 
     params = None
-    for impl in ("onehot", "sorted"):
+    for impl, typed in (("onehot", "ragged"), ("onehot", "onehot"),
+                        ("sorted", "ragged")):
         model = HEATNet4Lattice(
             in_dim=d, hidden_dim=256, out_dim=2, n_layers=2, n_heads=4,
-            n_node_types=t, dropout=0.0, agg_impl=impl,
+            n_node_types=t, dropout=0.0, agg_impl=impl, typed_impl=typed,
         )
         if params is None:
             params = jax.jit(model.init)(jax.random.PRNGKey(0), g0)
@@ -73,13 +74,14 @@ def bench_agg():
             s, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(scan_reps))
             return s
 
+        tag = f"agg={impl} typed={typed}"
         try:
             compile_s, best = _timeit(run, params, pool)
         except Exception as e:
-            print(f"agg_impl={impl:7s}: FAILED {type(e).__name__}: {e}")
+            print(f"{tag:24s}: FAILED {type(e).__name__}: {e}")
             continue
         per_slide = best / (scan_reps * b) * 1e3
-        print(f"agg_impl={impl:7s}: {per_slide:.3f} ms/slide graph+fwd "
+        print(f"{tag:24s}: {per_slide:.3f} ms/slide graph+fwd "
               f"({b / (best / scan_reps):.0f} slides/s; "
               f"compile {compile_s:.0f}s)", flush=True)
 

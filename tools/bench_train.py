@@ -49,7 +49,7 @@ def main(batch: int = 2, lattice: bool = False, agg_dtype: str = "float32",
               n_heads=4, n_node_types=t, dropout=0.2)
     model = (HEATNet4Lattice(agg_dtype=agg_dtype, agg_impl=agg_impl,
                              typed_impl=typed_impl, **kw)
-             if lattice else HEATNet4(**kw))
+             if lattice else HEATNet4(typed_impl=typed_impl, **kw))
     tx = optax.adamw(1e-5, weight_decay=0.005)
 
     rng = np.random.RandomState(0)

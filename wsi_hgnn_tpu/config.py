@@ -166,6 +166,7 @@ def parse_gnn_model(config_gnn: dict) -> Tuple[Any, bool]:
                 n_node_types=config_gnn["n_node_types"],
                 dropout=config_gnn["feat_drop"],
                 graph_pooling_type=config_gnn["graph_pooling_type"],
+                typed_impl=str(config_gnn.get("typed_impl", "onehot")),
             ),
             True,
         )
@@ -180,6 +181,11 @@ def parse_gnn_model(config_gnn: dict) -> Tuple[Any, bool]:
                 n_node_types=config_gnn["n_node_types"],
                 dropout=config_gnn["feat_drop"],
                 graph_pooling_type=config_gnn["graph_pooling_type"],
+                # extension key (see parse_lattice_twin); the TypedGraph
+                # path keeps the one-hot default until ragged is a
+                # measured win HERE too (the lattice ladder does not
+                # transfer 1:1 — this path is segment-op bound)
+                typed_impl=str(config_gnn.get("typed_impl", "onehot")),
             ),
             True,
         )

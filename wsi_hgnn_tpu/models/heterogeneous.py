@@ -264,16 +264,22 @@ class HEATLayer(nn.Module):
     out_dim: int
     n_heads: int
     dropout: float = 0.2
+    typed_impl: str = "onehot"  # see layers.TypedDense
 
     @nn.compact
-    def __call__(self, g: TypedGraph, h: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, g: TypedGraph, h: jax.Array, train: bool = False,
+                 tsort=None) -> jax.Array:
         t = self.n_types
         n_h, d_k = self.n_heads, self.out_dim // self.n_heads
         sqrt_dk = math.sqrt(d_k)
+        ti = self.typed_impl
 
-        k = TypedDense(t, self.out_dim, name="k_linears")(h, g.node_type)
-        q = TypedDense(t, self.out_dim, name="q_linears")(h, g.node_type)
-        v = TypedDense(t, self.out_dim, name="v_linears")(h, g.node_type)
+        k = TypedDense(t, self.out_dim, impl=ti, name="k_linears")(
+            h, g.node_type, tsort)
+        q = TypedDense(t, self.out_dim, impl=ti, name="q_linears")(
+            h, g.node_type, tsort)
+        v = TypedDense(t, self.out_dim, impl=ti, name="v_linears")(
+            h, g.node_type, tsort)
         k = k.reshape(-1, n_h, d_k)
         q = q.reshape(-1, n_h, d_k)
         v = v.reshape(-1, n_h, d_k)
@@ -288,7 +294,8 @@ class HEATLayer(nn.Module):
         denom = jnp.maximum(dst_denom, 1.0)[g.node_type][:, None]
         t_agg = agg / denom
 
-        trans = TypedDense(t, self.out_dim, name="a_linears")(t_agg, g.node_type)
+        trans = TypedDense(t, self.out_dim, impl=ti, name="a_linears")(
+            t_agg, g.node_type, tsort)
         trans = nn.Dropout(self.dropout, deterministic=not train)(trans)
         return _skip_mix(
             trans, h, skip, g.node_type, (dst_denom > 0)[g.node_type], g.node_mask
@@ -308,6 +315,7 @@ class HEATNet2(nn.Module):
     n_node_types: int
     dropout: float = 0.2
     graph_pooling_type: str = "mean"
+    typed_impl: str = "onehot"  # see layers.TypedDense
 
     @nn.compact
     def __call__(self, g: TypedGraph, train: bool = False) -> jax.Array:
@@ -315,11 +323,16 @@ class HEATNet2(nn.Module):
         _, _, _, type_present = _presence(g)
         pres = type_present.astype(g.feat.dtype)
 
-        h = TypedDense(t, self.hidden_dim, name="adapt_ws")(g.feat, g.node_type)
+        # one type-major sort shared by every typed projection in the net
+        tsort = (ops.make_type_sort(g.node_type, t)
+                 if self.typed_impl == "ragged" else None)
+        h = TypedDense(t, self.hidden_dim, impl=self.typed_impl,
+                       name="adapt_ws")(g.feat, g.node_type, tsort)
         for i in range(self.n_layers):
             h = HEATLayer(
-                t, self.hidden_dim, self.n_heads, self.dropout, name=f"gcs_{i}"
-            )(g, h, train)
+                t, self.hidden_dim, self.n_heads, self.dropout,
+                typed_impl=self.typed_impl, name=f"gcs_{i}"
+            )(g, h, train, tsort)
         pooled = pool_all_types(g, h, self.graph_pooling_type)
         heads = TypedHeads(t, self.out_dim, name="linears_prediction")(pooled)
         return (heads * pres[None, :, None]).sum(1)
@@ -340,6 +353,7 @@ class HEATNet4(nn.Module):
     dropout: float = 0.2
     graph_pooling_type: str = "mean"
     embed_dim: int = 256
+    typed_impl: str = "onehot"  # see layers.TypedDense
 
     @nn.compact
     def __call__(self, g: TypedGraph, train: bool = False) -> jax.Array:
@@ -347,11 +361,16 @@ class HEATNet4(nn.Module):
         _, _, _, type_present = _presence(g)
         pres = type_present.astype(g.feat.dtype)
 
-        h = TypedDense(t, self.hidden_dim, name="adapt_ws")(g.feat, g.node_type)
+        # one type-major sort shared by every typed projection in the net
+        tsort = (ops.make_type_sort(g.node_type, t)
+                 if self.typed_impl == "ragged" else None)
+        h = TypedDense(t, self.hidden_dim, impl=self.typed_impl,
+                       name="adapt_ws")(g.feat, g.node_type, tsort)
         for i in range(self.n_layers):
             h = HEATLayer(
-                t, self.hidden_dim, self.n_heads, self.dropout, name=f"gcs_{i}"
-            )(g, h, train)
+                t, self.hidden_dim, self.n_heads, self.dropout,
+                typed_impl=self.typed_impl, name=f"gcs_{i}"
+            )(g, h, train, tsort)
 
         pooled = pool_all_types(g, h, self.graph_pooling_type)
         out_h = TypedHeads(t, self.embed_dim, name="linears_prediction")(pooled)

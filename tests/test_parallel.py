@@ -246,3 +246,39 @@ def test_dp_step_with_batch_norm_model():
                         jax.tree.leaves(state.batch_stats))
     ]
     assert max(moved) > 0
+
+
+def test_sharded_encoder_matches_single_device():
+    """Constructor two-CNN encoder (KimiaNet features + HoVer-Net typing
+    over ONE patch stream) batch-sharded over the 8-device mesh == the
+    unsharded encoder: features AND node types, including the pad-and-slice
+    path for a batch that does not divide the mesh (VERDICT r3 item 1)."""
+    from wsi_hgnn_tpu.models.featurizers import make_cnn_encoder
+
+    cfg = {"feature_dim": 1024, "n_node_type": 6}
+    rng = np.random.RandomState(3)
+    # 96^2 keeps HoVer-Net's valid-conv decoder arithmetic positive at a
+    # CPU-compilable cost; 10 patches exercise the pad-to-8 path
+    patches = rng.rand(10, 96, 96, 3).astype(np.float32)
+
+    enc_1 = make_cnn_encoder("kimia", cfg, {}, {}, with_typing=True)
+    f1, t1 = enc_1(patches)
+    enc_8 = make_cnn_encoder("kimia", cfg, {}, {}, with_typing=True,
+                             mesh=make_mesh(8))
+    f8, t8 = enc_8(patches)
+
+    assert f1.shape == (10, 1024) and t1.shape == (10,)
+    np.testing.assert_allclose(f8, f1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(t8, t1)
+
+
+def test_encoder_mesh_config_gate():
+    """dp_devices config: 'all' -> the full local mesh, 1/null -> None."""
+    from wsi_hgnn_tpu.pipeline.construct import encoder_mesh
+
+    m = encoder_mesh({})
+    assert m is not None and m.devices.size == jax.device_count()
+    assert encoder_mesh({"dp_devices": 1}) is None
+    assert encoder_mesh({"dp_devices": None}) is None
+    m3 = encoder_mesh({"dp_devices": 4})
+    assert m3 is not None and m3.devices.size == 4

@@ -27,7 +27,13 @@ V5E_F32_PEAK = 49e12
 
 
 def main(batch: int = 2, lattice: bool = False, agg_dtype: str = "float32",
-         agg_impl: str = "onehot", typed_impl: str = "ragged"):
+         agg_impl: str = "onehot", typed_impl: str = None):
+    # default typed_impl follows what production configs actually run
+    # (config.parse_gnn_model): ragged is the lattice default, the hetero
+    # TypedGraph zoo stays one-hot — benching the non-shipped combination
+    # silently would mislead ladder comparisons (ADVICE r3)
+    if typed_impl is None:
+        typed_impl = "ragged" if lattice else "onehot"
     import jax
     import jax.numpy as jnp
 
@@ -103,7 +109,7 @@ def main(batch: int = 2, lattice: bool = False, agg_dtype: str = "float32",
         best = min(best, time.perf_counter() - t0)
     per_step = best / reps * 1e3
     path = (f"lattice {agg_impl} agg={agg_dtype} typed={typed_impl}"
-            if lattice else "TypedGraph")
+            if lattice else f"TypedGraph typed={typed_impl}")
     line = (f"HEAT4 h512 train step (fwd+bwd+adamw, {path} path), batch "
             f"{batch} x {n} nodes: {per_step:.2f} ms/step = "
             f"{batch / (per_step / 1e3):.0f} slides/s training throughput")
@@ -121,13 +127,16 @@ if __name__ == "__main__":
     lattice = "--lattice" in args
     bf16_agg = "--bf16-agg" in args
     sorted_agg = "--sorted" in args
-    ragged = "--ragged" in args  # grouped-GEMM typed projections (default)
+    ragged = "--ragged" in args  # grouped-GEMM typed projections
     onehot_typed = "--onehot-typed" in args  # the pre-round-3 formulation
     args = [a for a in args
             if a not in ("--lattice", "--bf16-agg", "--sorted", "--ragged",
                          "--onehot-typed")]
+    # unflagged: each path benches its production default (lattice=ragged,
+    # hetero=onehot — matching config.parse_gnn_model)
+    typed_impl = "onehot" if onehot_typed else ("ragged" if ragged else None)
     for b in [int(a) for a in args] or [2, 4, 8]:
         main(b, lattice=lattice,
              agg_dtype="bfloat16" if bf16_agg else "float32",
              agg_impl="sorted" if sorted_agg else "onehot",
-             typed_impl="onehot" if onehot_typed else "ragged")
+             typed_impl=typed_impl)

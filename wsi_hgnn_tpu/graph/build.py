@@ -34,17 +34,25 @@ def build_edges_device(features: jax.Array, radius: int,
     neighbours (graph_constructor.py:267-273). Edges whose source row is
     padding are masked out. Pearson edge weights come from one Gram matmul
     of the centred-normalised features (fn @ fn.T) gathered along the
-    regular [N, k] neighbour lattice — no irregular row gathers.
+    regular [N, k] neighbour lattice — no irregular row gathers. Past
+    ops.knn.STREAM_THRESHOLD nodes both the KNN (via knn_lookup) and the
+    Pearson step stream in tiles instead of materialising [N, N].
     """
+    from ..ops.knn import STREAM_THRESHOLD
+    from ..ops.pearson import pearson_sim_at
+
     k = radius - 1
     n = features.shape[0]
     idx, _ = knn_lookup(features, k, mask, impl=knn_impl)
     src = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
     dst = idx.reshape(-1).astype(jnp.int32)
 
-    fn = center_normalize(features)
-    gram = fn @ fn.T  # [N, N] pearson r of every pair
-    sim = jnp.take_along_axis(gram, idx, axis=1).reshape(-1)  # [N*k]
+    if n >= STREAM_THRESHOLD:
+        sim = pearson_sim_at(features, idx).reshape(-1)  # [N*k], no [N, N]
+    else:
+        fn = center_normalize(features)
+        gram = fn @ fn.T  # [N, N] pearson r of every pair
+        sim = jnp.take_along_axis(gram, idx, axis=1).reshape(-1)  # [N*k]
     esign = (sim > 0).astype(jnp.int32)
 
     # a slide with fewer real nodes than k makes top_k fall back to

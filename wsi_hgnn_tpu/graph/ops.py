@@ -320,6 +320,21 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def under_batch_trace(*xs) -> bool:
+    """True when any argument is currently traced by vmap.
+
+    `jax.lax.ragged_dot`'s batching rule is NYI beyond dim-0 on this
+    environment's jax (0.9.0 raises ``NotImplementedError: ragged_dot vmap
+    over any dim but 0``), so callers that may run under an outer vmap (the
+    DP train step maps the device axis) dispatch STRUCTURALLY on this check
+    rather than catching NotImplementedError — an exception-type change in
+    a future jax then surfaces loudly instead of silently degrading the
+    unbatched hot path (ADVICE r3)."""
+    from jax._src.interpreters import batching  # public alias removed in 0.9
+
+    return any(isinstance(x, batching.BatchTracer) for x in xs)
+
+
 def make_type_sort(node_type: jax.Array, n_types: int) -> TypeSort:
     perm = jnp.argsort(node_type, stable=True).astype(jnp.int32)
     inv = jnp.argsort(perm).astype(jnp.int32)

@@ -100,8 +100,32 @@ def make_hover_typing(hovernet_config: Dict, nr_types: int = 6
     return typing
 
 
+def _batch_jit(fn, mesh):
+    """jit `fn(imgs) -> pytree of [B, ...]`; with a mesh, shard the batch
+    dim over its devices via shard_map (parallel.make_sharded_batch_apply)
+    — the reference's DataParallel featurizer axis
+    (graph_constructor.py:124,179) as per-device unbatched programs."""
+    import jax
+
+    if mesh is None:
+        return jax.jit(fn)
+    from ...parallel.mesh import make_sharded_batch_apply
+
+    return make_sharded_batch_apply(fn, mesh)
+
+
+def _pad_rows(arr: np.ndarray, multiple: int) -> np.ndarray:
+    """Pad the batch dim up to a multiple by repeating the last row (the
+    sharded program needs a divisible global batch; callers slice back)."""
+    r = (-arr.shape[0]) % multiple
+    if r:
+        arr = np.concatenate([arr, np.repeat(arr[-1:], r, axis=0)])
+    return arr
+
+
 def make_cnn_encoder(name: str, config: Dict, hovernet_config: Dict,
-                     kimianet_config: Dict, with_typing: bool = False):
+                     kimianet_config: Dict, with_typing: bool = False,
+                     mesh=None):
     """Build a `(patches [B,256,256,3] f32) -> (features, node_types)`
     encoder, mirroring GraphConstructor.__init__'s dispatch
     (/root/reference/construct_graph/graph_constructor.py:237-254).
@@ -116,6 +140,12 @@ def make_cnn_encoder(name: str, config: Dict, hovernet_config: Dict,
     runs both CNNs over one patch stream in a single constructor pass
     (graph_constructor.py:239-254); node_types then comes back non-None.
 
+    mesh: a 1-axis jax.sharding.Mesh scales the patch stream over its
+    devices (the reference's `torch.nn.DataParallel` around both CNNs,
+    graph_constructor.py:124,179): each chunk is batch-sharded via
+    shard_map, weights replicated; chunks whose size does not divide the
+    mesh are padded with the last patch and sliced back.
+
     Checkpoints are loaded when the corresponding *_model_path exists;
     otherwise the encoder runs from random init (documented degradation —
     this environment ships no pretrained weights).
@@ -126,18 +156,23 @@ def make_cnn_encoder(name: str, config: Dict, hovernet_config: Dict,
 
     feat_dim = int(config.get("feature_dim", 1024))
     nr_types = int(config.get("n_node_type", 6))
+    n_dev = 1 if mesh is None else mesh.devices.size
 
     if name == "hover":
         model, variables, in_dtype = _load_hover_variables(
             hovernet_config, nr_types
         )
-        full = jax.jit(
-            lambda imgs: hovernet_full_apply(model, variables, imgs, nr_types)
+        full = _batch_jit(
+            lambda imgs: hovernet_full_apply(
+                model, variables, imgs.astype(in_dtype), nr_types
+            ),
+            mesh,
         )
 
         def encode(patches: np.ndarray):
-            feats, types = full(jnp.asarray(patches, in_dtype))
-            return np.asarray(feats, np.float32), np.asarray(types)
+            b = patches.shape[0]
+            feats, types = full(_pad_rows(np.asarray(patches, np.float32), n_dev))
+            return np.asarray(feats, np.float32)[:b], np.asarray(types)[:b]
 
         return encode
 
@@ -151,20 +186,24 @@ def make_cnn_encoder(name: str, config: Dict, hovernet_config: Dict,
         typing_dev = make_hover_typing_device(hovernet_config, nr_types)
 
     def _wrap(feat_part):
-        import jax
-
         if typing_dev is None:
-            fn = jax.jit(feat_part)
+            fn = _batch_jit(feat_part, mesh)
 
             def encode(patches: np.ndarray):
-                return np.asarray(fn(jnp.asarray(patches)),
-                                  np.float32), None
+                b = patches.shape[0]
+                out = fn(_pad_rows(np.asarray(patches, np.float32), n_dev))
+                return np.asarray(out, np.float32)[:b], None
         else:
-            fn = jax.jit(lambda imgs: (feat_part(imgs), typing_dev(imgs)))
+            fn = _batch_jit(
+                lambda imgs: (feat_part(imgs), typing_dev(imgs)), mesh
+            )
 
             def encode(patches: np.ndarray):
-                feats, types = fn(jnp.asarray(patches))
-                return np.asarray(feats, np.float32), np.asarray(types)
+                b = patches.shape[0]
+                feats, types = fn(
+                    _pad_rows(np.asarray(patches, np.float32), n_dev)
+                )
+                return np.asarray(feats, np.float32)[:b], np.asarray(types)[:b]
 
         return encode
 

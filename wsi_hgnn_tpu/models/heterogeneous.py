@@ -116,8 +116,11 @@ class HetRGCN(nn.Module):
         _, _, _, type_present = _presence(g)
         pres = type_present.astype(g.feat.dtype)
 
+        # approximate=False: torch F.gelu (the reference's activation,
+        # HetRGCN.py:99 / HGT.py:180) is the exact erf form
         h = jax.nn.gelu(
-            TypedDense(t, self.hidden_dim, name="adapt_ws")(g.feat, g.node_type)
+            TypedDense(t, self.hidden_dim, name="adapt_ws")(g.feat, g.node_type),
+            approximate=False,
         )
         hg = jnp.zeros((g.n_graphs, self.out_dim), dtype=g.feat.dtype)
         for i in range(self.n_layers):
@@ -232,8 +235,11 @@ class HGT(nn.Module):
         _, _, _, type_present = _presence(g)
         pres = type_present.astype(g.feat.dtype)
 
+        # approximate=False: torch F.gelu (the reference's activation,
+        # HetRGCN.py:99 / HGT.py:180) is the exact erf form
         h = jax.nn.gelu(
-            TypedDense(t, self.hidden_dim, name="adapt_ws")(g.feat, g.node_type)
+            TypedDense(t, self.hidden_dim, name="adapt_ws")(g.feat, g.node_type),
+            approximate=False,
         )
         hg = jnp.zeros((g.n_graphs, self.out_dim), dtype=g.feat.dtype)
         for i in range(self.n_layers):

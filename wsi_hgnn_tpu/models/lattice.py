@@ -54,16 +54,22 @@ class LatticeGraph(NamedTuple):
 def build_lattice_device(features, node_types, mask, radius: int,
                          n_node_types: int = 6,
                          knn_impl: str = "exact") -> LatticeGraph:
-    """KNN + Pearson construction keeping the [B, N, k] lattice form."""
-    from ..ops.knn import knn_lookup
-    from ..ops.pearson import center_normalize
+    """KNN + Pearson construction keeping the [B, N, k] lattice form.
+    Buckets past ops.knn.STREAM_THRESHOLD stream both steps in tiles
+    instead of materialising [N, N] (same dispatch as graph.build)."""
+    from ..ops.knn import STREAM_THRESHOLD, knn_lookup
+    from ..ops.pearson import center_normalize, pearson_sim_at
 
     k = radius - 1
+    stream = features.shape[1] >= STREAM_THRESHOLD
 
     def per_slide(f, m):
         idx, _ = knn_lookup(f, k, m, impl=knn_impl)
-        fn = center_normalize(f)
-        sim = jnp.take_along_axis(fn @ fn.T, idx, axis=1)
+        if stream:
+            sim = pearson_sim_at(f, idx)
+        else:
+            fn = center_normalize(f)
+            sim = jnp.take_along_axis(fn @ fn.T, idx, axis=1)
         return idx.astype(jnp.int32), sim
 
     idx, sim = jax.vmap(per_slide)(features, mask)

@@ -67,15 +67,12 @@ class TypedDense(nn.Module):
             (self.n_types, d_in, self.features),
         )
         b = self.param("bias", nn.initializers.zeros, (self.n_types, self.features))
-        if self.impl == "ragged":
-            try:
-                return ops.typed_linear_ragged(feat, node_type, w, b, tsort)
-            except NotImplementedError:
-                # jax.lax.ragged_dot only batches over dim 0, so tracing
-                # under an outer vmap (the DP step maps the device axis)
-                # raises NYI — fall through to the vmap-polymorphic
-                # one-hot form there; the unbatched hot paths keep ragged
-                pass
+        if self.impl == "ragged" and not ops.under_batch_trace(feat, node_type):
+            # jax.lax.ragged_dot cannot trace under an outer vmap (the DP
+            # step maps the device axis), so dispatch is structural: the
+            # vmap-polymorphic one-hot form runs there, the unbatched hot
+            # paths keep the grouped GEMM (ops.under_batch_trace)
+            return ops.typed_linear_ragged(feat, node_type, w, b, tsort)
         return ops.typed_linear(feat, node_type, w, b)
 
 

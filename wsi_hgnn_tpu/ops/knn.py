@@ -54,11 +54,58 @@ def knn_l2(features: jax.Array, k: int, mask: jax.Array | None = None,
     return idx, -neg_top
 
 
+# Above this node count the [N, N] f32 distance matrix crosses 64 MB
+# (SURVEY §2.3 puts the per-slide ceiling at ~10^4 patches: a 16k bucket
+# would be a ~1 GB buffer inside a program that also holds the featurizer)
+# and 'exact' dispatches size-aware to the streaming tiled form instead.
+STREAM_THRESHOLD = 4096
+
+
+@partial(jax.jit, static_argnames=("k", "tile"))
+def knn_l2_tiled(features: jax.Array, k: int, mask: jax.Array | None = None,
+                 tile: int = 512):
+    """knn_l2 without the [N, N] materialisation: query tiles stream
+    through `lax.map`, each computing one [tile, N] distance stripe and its
+    top-k — peak memory O(tile*N) instead of O(N^2), same exact results
+    (equality-tested at an 8k bucket). The automatic route for buckets past
+    STREAM_THRESHOLD in `knn_lookup`."""
+    n = features.shape[0]
+    f32 = features.astype(jnp.float32)
+    sq = jnp.sum(f32 * f32, axis=1)
+    big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
+    cand_bad = jnp.zeros(n, bool) if mask is None else ~mask
+    n_pad = -(-n // tile) * tile
+    f_q = jnp.pad(f32, ((0, n_pad - n), (0, 0)))
+    sq_q = jnp.pad(sq, (0, n_pad - n))
+    cand_ids = jnp.arange(n, dtype=jnp.int32)
+
+    def one_tile(t):
+        q = jax.lax.dynamic_slice_in_dim(f_q, t * tile, tile)
+        sqt = jax.lax.dynamic_slice_in_dim(sq_q, t * tile, tile)
+        qid = t * tile + jnp.arange(tile, dtype=jnp.int32)
+        d2 = sqt[:, None] + sq[None, :] - 2.0 * (q @ f32.T)
+        d2 = jnp.maximum(d2, 0.0)
+        d2 = jnp.where(cand_ids[None, :] == qid[:, None], big, d2)
+        d2 = jnp.where(cand_bad[None, :], big, d2)
+        neg_top, idx = jax.lax.top_k(-d2, k)
+        return idx.astype(jnp.int32), -neg_top
+
+    idx, d2 = jax.lax.map(
+        one_tile, jnp.arange(n_pad // tile, dtype=jnp.int32)
+    )
+    return idx.reshape(n_pad, k)[:n], d2.reshape(n_pad, k)[:n]
+
+
 def knn_lookup(features: jax.Array, k: int, mask: jax.Array | None = None,
                impl: str = "exact"):
     """KNN dispatcher: impl in {'exact' (XLA matmul+top_k), 'approx'
     (lax.approx_min_k, the HNSW analog), 'pallas' (fused streaming kernel —
-    exact results, ~2.8x faster than the XLA exact path at N=2048)}."""
+    exact results, ~2.8x faster than the XLA exact path at N=2048)}.
+
+    Dispatch is size-aware: 'exact' buckets past STREAM_THRESHOLD nodes
+    stream through knn_l2_tiled instead of materialising [N, N] (and
+    'pallas' at awkward tile sizes falls back the same way). 'approx'
+    keeps the dense matrix — lax.approx_min_k needs the full score tile."""
     if impl == "pallas":
         from .pallas_knn import knn_l2_pallas
 
@@ -73,6 +120,8 @@ def knn_lookup(features: jax.Array, k: int, mask: jax.Array | None = None,
             return knn_l2_pallas(features, k, mask, tile_q=tile_q,
                                  tile_c=tile_c, interpret=interpret)
         impl = "exact"  # fall back for awkward sizes
+    if impl == "exact" and features.shape[0] >= STREAM_THRESHOLD:
+        return knn_l2_tiled(features, k, mask)
     return knn_l2(features, k, mask, approx=(impl == "approx"))
 
 

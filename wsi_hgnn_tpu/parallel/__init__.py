@@ -4,6 +4,7 @@ from .mesh import (
     data_sharded,
     make_dp_featurizer,
     make_mesh,
+    make_sharded_batch_apply,
     replicated,
     shard_stacked,
     stack_graphs,
@@ -16,6 +17,7 @@ __all__ = [
     "data_sharded",
     "make_dp_featurizer",
     "make_mesh",
+    "make_sharded_batch_apply",
     "replicated",
     "shard_stacked",
     "stack_graphs",

@@ -75,6 +75,30 @@ def shard_stacked(stacked, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sh), stacked)
 
 
+def make_sharded_batch_apply(fn, mesh: Mesh):
+    """DP forward with PER-DEVICE unbatched programs: `fn(batch) -> pytree
+    of [B, ...]` is shard_mapped over the batch dim, so each device runs
+    the original single-device program on its local slice — Pallas kernels
+    and other SPMD-opaque ops inside need no partitioning rules (unlike
+    make_dp_featurizer's sharding-annotation form, which relies on XLA to
+    partition the batched program). Used by the constructor pipeline to
+    scale the two-CNN patch stream over all local devices — the TPU-native
+    successor of the reference's `torch.nn.DataParallel` around its
+    featurizer CNNs (/root/reference/construct_graph/graph_constructor.py:
+    124,179).
+
+    The global batch must be divisible by the mesh size (callers pad);
+    closures over weights are allowed (replicated). Outputs keep the batch
+    dim sharded; np.asarray on them gathers to host."""
+    # check_vma=False: pallas_call outputs (the fused KimiaNet path) carry
+    # no varying-mesh-axes annotation, which the replication checker needs
+    body = jax.shard_map(
+        fn, mesh=mesh, in_specs=P(DATA_AXIS), out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(body)
+
+
 def make_dp_featurizer(apply_fn, mesh: Mesh):
     """Data-parallel featurizer forward: patches sharded on the batch dim,
     params replicated — the TPU-native successor of the reference's

@@ -45,13 +45,38 @@ def random_encoder(dim: int = 1024, seed: int = 0, n_types: int = 6) -> EncoderF
     return fn
 
 
+def encoder_mesh(config: Dict):
+    """The device mesh the constructor's CNN encoders scale over — ALL
+    local devices by default (the reference's DataParallel axis around both
+    featurizer CNNs, graph_constructor.py:124,179; typing is ~95% of
+    slide-to-prediction and embarrassingly parallel over patches).
+
+    `dp_devices` in the graph_constructor config bounds it: "all"
+    (default), an int device count, or 1/0/null to stay single-device.
+    Returns None when one device (or fewer) would be used."""
+    dp = config.get("dp_devices", "all")
+    if dp in (None, 0, 1, "0", "1"):
+        return None
+    import jax
+
+    n = jax.local_device_count()
+    if dp != "all":
+        n = min(int(dp), n)
+    if n <= 1:
+        return None
+    from ..parallel.mesh import make_mesh
+
+    return make_mesh(n)
+
+
 def make_encoder(name: str, config: Dict, hovernet_config: Dict, kimianet_config: Dict,
-                 with_typing: bool = False) -> EncoderFn:
+                 with_typing: bool = False, mesh=None) -> EncoderFn:
     """Encoder registry mirroring graph_constructor.py:237-254's dispatch on
     `encoder_name` in {'hover', 'kimia', 'efficientnet-b4'}. with_typing
     adds the HoVer-Net typing head to the kimia/efficientnet encoders so
     both CNNs consume ONE decoded patch stream (the reference constructor
-    always runs typing, graph_constructor.py:239-246)."""
+    always runs typing, graph_constructor.py:239-246). mesh batch-shards
+    every patch chunk over its devices (see encoder_mesh)."""
     if name == "random":
         return random_encoder(config.get("feature_dim", 1024),
                               n_types=config.get("n_node_type", 6))
@@ -59,7 +84,7 @@ def make_encoder(name: str, config: Dict, hovernet_config: Dict, kimianet_config
         from ..models.featurizers import make_cnn_encoder
 
         return make_cnn_encoder(name, config, hovernet_config, kimianet_config,
-                                with_typing=with_typing)
+                                with_typing=with_typing, mesh=mesh)
     raise NotImplementedError(f"encoder {name!r}")
 
 
@@ -71,7 +96,10 @@ def build_default_encoder(config: Dict, hovernet_config: Dict,
 
     The reference constructor runs HoVer-Net typing whenever no
     node_type_dir is given, whatever the feature encoder
-    (graph_constructor.py:239-246); `inline_typing: false` opts out."""
+    (graph_constructor.py:239-246); `inline_typing: false` opts out.
+
+    CNN encoders scale over all local devices by default (dp_devices,
+    see encoder_mesh)."""
     enc_name = config["encoder_name"]
     if enc_name == "precomputed":
         return None
@@ -80,8 +108,9 @@ def build_default_encoder(config: Dict, hovernet_config: Dict,
         and config.get("node_type_dir") is None
         and bool(config.get("inline_typing", True))
     )
+    mesh = encoder_mesh(config) if enc_name != "random" else None
     return make_encoder(enc_name, config, hovernet_config, kimianet_config,
-                        with_typing=want_typing)
+                        with_typing=want_typing, mesh=mesh)
 
 
 class GraphConstructor:

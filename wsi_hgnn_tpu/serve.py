@@ -52,6 +52,12 @@ class SlidePredictor:
     main.py:40-47); the GNN section picks the model, the checkpoint
     section the weights, and `radius`/`n_node_types` default to the
     graph-construction operating point they were trained with.
+
+    `knn_impl="exact"` is size-aware: buckets past ops.knn.STREAM_THRESHOLD
+    nodes stream KNN + Pearson in tiles (ops.knn.knn_l2_tiled /
+    ops.pearson.pearson_sim_at) instead of materialising the [N, N]
+    distance and gram matrices, so a 16k-patch request does not allocate
+    ~1 GB buffers inside the serving program.
     """
 
     def __init__(

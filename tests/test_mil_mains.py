@@ -249,3 +249,250 @@ def test_cosine_epoch_schedule_matches_torch():
                       epoch * steps + steps - 1):
             assert float(lr_of(count)) == pytest.approx(expect, rel=1e-4)
         sched.step()
+
+
+# --------------------------------------------------------------------- #
+# real two-magnification nested bags (github_pretreat.py pyramid contract)
+# --------------------------------------------------------------------- #
+def _write_nested_bag(bag_dir, low, children, seed=0, thumb=False, px=24):
+    """Write a tiler-layout nested bag: low tiles `{x}_{y}.jpeg` at the
+    root, each (x, y) in `children` gets a `{x}_{y}/` dir of high tiles
+    at the 2x2 child coords. Returns the per-low child coord lists."""
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    os.makedirs(bag_dir, exist_ok=True)
+
+    def save(path):
+        Image.fromarray(
+            rng.randint(0, 255, (px, px, 3)).astype(np.uint8)
+        ).save(path)
+
+    child_map = {}
+    for (x, y) in low:
+        save(os.path.join(bag_dir, f"{x}_{y}.jpeg"))
+        if (x, y) in children:
+            d = os.path.join(bag_dir, f"{x}_{y}")
+            os.makedirs(d, exist_ok=True)
+            kids = [(2 * x + dx, 2 * y + dy)
+                    for dx in (0, 1) for dy in (0, 1)]
+            for (hx, hy) in kids:
+                save(os.path.join(d, f"{hx}_{hy}.jpeg"))
+            child_map[(x, y)] = kids
+    if thumb:
+        save(os.path.join(bag_dir, "thumbnail.jpeg"))
+    return child_map
+
+
+def test_scan_nested_bag_levels_and_parents(tmp_path):
+    from wsi_hgnn_tpu.models.mil.h2mil import scan_nested_bag
+
+    low = [(0, 0), (0, 1), (1, 0)]
+    child_map = _write_nested_bag(
+        str(tmp_path / "s"), low, children={(0, 0), (1, 0)}, thumb=True)
+    low_paths, low_xy, high_paths, high_xy, parent, thumb = scan_nested_bag(
+        str(tmp_path / "s"))
+    assert thumb is not None and thumb.name == "thumbnail.jpeg"
+    assert [tuple(c) for c in low_xy] == sorted(low)
+    assert len(high_paths) == 8 and len(parent) == 8
+    # every high tile's parent is the low tile whose dir held it
+    for hp, hxy, pi in zip(high_paths, high_xy, parent):
+        lx, ly = low_xy[pi]
+        assert hp.parent.name == f"{lx}_{ly}"
+        assert tuple(hxy) in child_map[(lx, ly)]
+
+
+def test_build_tree_graph_levels_structure():
+    from wsi_hgnn_tpu.models.mil.h2mil import build_tree_graph_levels
+
+    rng = np.random.RandomState(3)
+    n1, n2, d = 4, 10, 8
+    xy1 = np.asarray([(0, 0), (0, 1), (1, 0), (1, 1)])
+    # children: 10 high tiles spread over the first three low tiles
+    parent = np.asarray([0, 0, 0, 0, 1, 1, 1, 2, 2, 2], np.int32)
+    xy2 = np.stack([np.arange(n2) % 4, np.arange(n2) // 4], 1)
+    f1 = rng.randn(n1, d).astype(np.float32)
+    f2 = rng.randn(n2, d).astype(np.float32)
+    tf = rng.randn(d).astype(np.float32)
+
+    t = build_tree_graph_levels(f1, xy1, f2, xy2, parent, thumb_feat=tf)
+    n_real = int(t.node_mask.sum())
+    assert n_real == 1 + n1 + n2
+    types = np.asarray(t.node_type)[:n_real]
+    assert types[0] == 0
+    assert (types == 1).sum() == n1 and (types == 2).sum() == n2
+    # REAL per-level features, not synthesized block means
+    np.testing.assert_allclose(np.asarray(t.feats)[0], tf)
+    np.testing.assert_allclose(np.asarray(t.feats)[1:1 + n1], f1)
+    np.testing.assert_allclose(np.asarray(t.feats)[1 + n1:n_real], f2)
+    # node_tree: level-1 -> thumbnail, level-2 -> its real parent
+    tree = np.asarray(t.tree)[:n_real]
+    assert np.all(tree[1:1 + n1] == 0)
+    np.testing.assert_array_equal(tree[1 + n1:n_real], 1 + parent)
+    # parent-child edges exist in BOTH directions; so do thumbnail<->level-1
+    e_real = int(t.edge_mask.sum())
+    edges = set(zip(np.asarray(t.src)[:e_real].tolist(),
+                    np.asarray(t.dst)[:e_real].tolist()))
+    for c, p in enumerate(parent):
+        assert (1 + n1 + c, 1 + p) in edges and (1 + p, 1 + n1 + c) in edges
+    for i in range(n1):
+        assert (1 + i, 0) in edges and (0, 1 + i) in edges
+    # 8-neighbour adjacency within level 1: the 2x2 grid is fully connected
+    for i in range(n1):
+        for j in range(n1):
+            if i != j:
+                assert (1 + i, 1 + j) in edges
+    # x_y_index contract: per-level /max then *2-1; thumbnail at (-1,-1)
+    xy = np.asarray(t.xy)[:n_real]
+    np.testing.assert_allclose(xy[0], [-1.0, -1.0])
+    np.testing.assert_allclose(xy[1:1 + n1],
+                               xy1 / np.maximum(xy1.max(0), 1) * 2 - 1)
+    np.testing.assert_allclose(xy[1 + n1:n_real],
+                               xy2 / np.maximum(xy2.max(0), 1) * 2 - 1)
+
+
+def test_train_mil_h2mil_nested_bags_e2e(tmp_path, capsys):
+    """train_mil --model h2mil --nested-bags over a synthetic 2-level image
+    dataset (tiler out_base layout with class directories)."""
+    import train_mil
+
+    rows = []
+    for i in range(8):
+        label = i % 2
+        name = f"s{i:02d}"
+        low = [(x, y) for x in range(2) for y in range(2)]
+        _write_nested_bag(str(tmp_path / "bags" / f"c{label}" / name),
+                          low, children={(0, 0), (1, 1)}, seed=100 + i)
+        rows.append(f"{name},{label}")
+    labels = str(tmp_path / "labels.csv")
+    with open(labels, "w") as f:
+        f.write("\n".join(rows))
+
+    out = train_mil.main([
+        "--model", "h2mil", "--nested-bags", "--encoder", "random",
+        "--feats-dir", str(tmp_path / "bags"), "--labels", labels,
+        "--folds", "2", "--epochs", "2", "--lr", "1e-3",
+        "--hidden", "16", "--k1", "2", "--k2", "4",
+    ])
+    assert set(out) >= {"acc_mean", "auc_mean", "f1_mean"}
+    assert np.isfinite(out["acc_mean"])
+
+
+def test_pretrain_simclr_cli_and_gtn_feed(tmp_path):
+    """tools/pretrain_simclr.py: tiny-backbone pretraining over a synthetic
+    patch corpus (loss finite, best.pkl checkpointed), then --extract writes
+    train_mil bags the GTN k-fold main trains on — the reference's
+    feature_extractor -> build_graphs -> main_kfold chain."""
+    from PIL import Image
+    from tools import pretrain_simclr
+
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(6):
+        label = i % 2
+        name = f"s{i}"
+        d = tmp_path / "patches" / name
+        os.makedirs(d)
+        base = rng.randint(0, 200, (24, 24, 3)) + label * 55
+        for j in range(5):
+            img = np.clip(base + rng.randint(-20, 20, (24, 24, 3)), 0, 255)
+            Image.fromarray(img.astype(np.uint8)).save(
+                d / f"{j}_{0}.jpeg")
+        rows.append(f"{name},{label}")
+    labels = str(tmp_path / "labels.csv")
+    with open(labels, "w") as f:
+        f.write("\n".join(rows))
+
+    ckpt = pretrain_simclr.main([
+        "--patch-dir", str(tmp_path / "patches"), "--out", str(tmp_path / "run"),
+        "--backbone", "tiny", "--train-backbone", "--epochs", "2",
+        "--batch", "4", "--image-size", "24", "--lr", "1e-3",
+        "--warmup-epochs", "1", "--proj-dim", "16",
+    ])
+    assert os.path.exists(ckpt)
+
+    pretrain_simclr.main([
+        "--extract", "--ckpt", ckpt,
+        "--patch-dir", str(tmp_path / "patches"),
+        "--out", str(tmp_path / "feats"),
+    ])
+    bags = sorted(os.listdir(tmp_path / "feats"))
+    assert bags == [f"s{i}.npz" for i in range(6)]
+    with np.load(tmp_path / "feats" / "s0.npz") as z:
+        assert z["feat"].shape == (5, 64) and z["xy"].shape == (5, 2)
+
+    import train_mil
+
+    out = train_mil.main([
+        "--model", "gtn", "--feats-dir", str(tmp_path / "feats"),
+        "--labels", labels, "--folds", "2", "--epochs", "2",
+        "--hidden", "16", "--clusters", "4",
+    ])
+    assert np.isfinite(out["acc_mean"])
+
+
+def test_simclr_lr_schedule_matches_torch():
+    """Constant lr through the warmup epochs, then torch
+    CosineAnnealingLR(T_max=epochs, eta_min=0) stepped at each later
+    epoch's end (kimia_simclr.py:185-188)."""
+    torch = pytest.importorskip("torch")
+    from tools.pretrain_simclr import simclr_lr_schedule
+
+    lr0, epochs, steps, warm = 1e-5, 20, 3, 10
+    lr_of = simclr_lr_schedule(lr0, epochs, steps, warm)
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=lr0)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, epochs, 0.0)
+    for epoch in range(epochs):
+        expect = opt.param_groups[0]["lr"]
+        for count in (epoch * steps, epoch * steps + steps - 1):
+            assert float(lr_of(count)) == pytest.approx(expect, rel=1e-4)
+        if epoch >= warm:
+            sched.step()
+
+
+def test_process_remix_dataset(tmp_path):
+    """tools/process_remix_dataset.py: graph .npz dir + labels CSV ->
+    ReMix bag layout (class-token npy dirs, 80/20 lists at the reference's
+    int((len+1)*.80) boundary, bag-label npys) + flat bags/ + labels.csv
+    that train_mil's dsmil main trains on."""
+    from tools import process_remix_dataset
+    import train_mil
+
+    rng = np.random.RandomState(0)
+    gd = tmp_path / "homogeneous"
+    os.makedirs(gd)
+    rows = []
+    for i in range(10):
+        label = i % 2
+        name = f"w{i}"
+        n = rng.randint(6, 12)
+        np.savez(gd / f"{name}.npz", feat=rng.randn(n, 16).astype(np.float32))
+        rows.append(f"{name},{label}")
+    labels = str(tmp_path / "in_labels.csv")
+    with open(labels, "w") as f:
+        f.write("\n".join(rows))
+
+    out = str(tmp_path / "ds")
+    process_remix_dataset.main([
+        "--graph-dir", str(gd), "--labels", labels, "--out", out])
+
+    # reference layout: 5 per class -> int(6*0.8)=4 train + 1 test each
+    train = open(os.path.join(out, "remix_processed", "train_list.txt")).read().splitlines()
+    test = open(os.path.join(out, "remix_processed", "test_list.txt")).read().splitlines()
+    assert len(train) == 8 and len(test) == 2
+    for row in train + test:
+        path, k = row.rsplit(",", 1)
+        assert os.path.exists(path)
+        tok = "0-normal" if k == "0" else "1-tumor"
+        assert tok + "-npy" in path
+    tl = np.load(os.path.join(out, "remix_processed", "train_bag_labels.npy"))
+    assert sorted(tl.tolist()) == [0] * 4 + [1] * 4
+
+    res = train_mil.main([
+        "--model", "dsmil", "--feats-dir", os.path.join(out, "bags"),
+        "--labels", os.path.join(out, "labels.csv"),
+        "--folds", "2", "--epochs", "1",
+    ])
+    assert np.isfinite(res["acc_mean"])

@@ -76,6 +76,9 @@ def test_predict_single_and_grouped_agree(tmp_path):
     # grouping / padding must not change per-slide results
     for s, expect in zip(slides, grouped):
         np.testing.assert_allclose(pred.predict(*s), expect, atol=2e-5)
+    # the overhead-split accounting (tools/bench_serve.py) saw every call
+    assert pred.timing["calls"] == 4
+    assert pred.timing["device_ms"] > 0 and pred.timing["pack_ms"] > 0
 
 
 def test_predict_hetero_model(tmp_path):

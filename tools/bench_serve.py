@@ -12,6 +12,14 @@ slides/s, latency percentiles, and the server's batching stats.
   python tools/bench_serve.py                    # synthetic checkpoint
   python tools/bench_serve.py --requests 64 --clients 16 --max-wait-ms 20
   python tools/bench_serve.py -config configs/BRCA/HEAT2_kimia_v2.yml
+  python tools/bench_serve.py --inproc            # no HTTP: device ceiling
+
+Prints the serving-overhead SPLIT alongside throughput: per-request npz
+decode, per-batch host packing, and per-batch device time (predictor
+.timing), so "device-bound on a production host" is a measurement —
+everything outside decode+pack+device is transport/queueing. --inproc
+bypasses HTTP entirely and drives predict_many with PRE-DECODED feature
+groups: the server-less ceiling the HTTP numbers are judged against.
 """
 from __future__ import annotations
 
@@ -84,6 +92,9 @@ def main():
     p.add_argument("--radius", type=int, default=9)
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-wait-ms", type=float, default=20.0)
+    p.add_argument("--inproc", action="store_true",
+                   help="skip HTTP: drive predict_many directly with "
+                        "pre-decoded features (device+pack ceiling)")
     args = p.parse_args()
 
     from wsi_hgnn_tpu.serve import BatchingServer, SlidePredictor
@@ -102,6 +113,37 @@ def main():
     else:
         predictor = synth_predictor(args.feat_dim, args.radius)
 
+    if args.inproc:
+        print(f"warmup: batch {args.max_batch} x {args.patches} patches ...",
+              flush=True)
+        t0 = time.perf_counter()
+        predictor.warmup(args.patches, batch_sizes=(args.max_batch,))
+        print(f"warmup done in {time.perf_counter() - t0:.1f}s", flush=True)
+        rng = np.random.RandomState(1)
+        groups = [
+            [(rng.randn(args.patches, predictor.in_dim).astype(np.float32),
+              rng.randint(0, 6, args.patches).astype(np.int32))
+             for _ in range(args.max_batch)]
+            for _ in range(2)
+        ]
+        predictor.timing = {"pack_ms": 0.0, "device_ms": 0.0, "calls": 0}
+        n_batches = max(args.requests // args.max_batch, 1)
+        t0 = time.perf_counter()
+        for i in range(n_batches):
+            predictor.predict_many(groups[i % len(groups)])
+        wall_s = time.perf_counter() - t0
+        tm = predictor.timing
+        n = n_batches * args.max_batch
+        print(
+            f"inproc (no HTTP, pre-decoded): {n} slides of {args.patches} x "
+            f"{predictor.in_dim}-d in {wall_s:.1f}s -> {n / wall_s:.2f} "
+            f"slides/s; per device batch of {args.max_batch}: pack "
+            f"{tm['pack_ms'] / tm['calls']:.1f} ms, device "
+            f"{tm['device_ms'] / tm['calls']:.1f} ms "
+            f"({tm['device_ms'] / max(tm['pack_ms'] + tm['device_ms'], 1e-9) * 100:.0f}% device)"
+        )
+        return
+
     server = BatchingServer(
         predictor, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
     )
@@ -110,6 +152,7 @@ def main():
     t0 = time.perf_counter()
     server.warmup(args.patches)
     print(f"warmup done in {time.perf_counter() - t0:.1f}s", flush=True)
+    predictor.timing = {"pack_ms": 0.0, "device_ms": 0.0, "calls": 0}
 
     # one request body per client, rotated (synthesis off the clock)
     rng = np.random.RandomState(1)
@@ -171,6 +214,22 @@ def main():
         f"p95 {np.percentile(lats, 95):.2f}s); "
         f"{stats['batches']} device batches, max group "
         f"{stats['batched_requests_max']}, errors {stats['errors']}"
+    )
+    # overhead split: where the wall time went. decode is per-request
+    # handler work; pack+device are per device batch (predictor.timing);
+    # the remainder of the wall clock is transport + micro-batch queueing.
+    tm = predictor.timing
+    dec = stats["decode_ms_sum"] / max(stats["requests"], 1)
+    pack_s = tm["pack_ms"] / 1e3
+    dev_s = tm["device_ms"] / 1e3
+    other = wall["s"] - pack_s - dev_s
+    print(
+        f"split: decode {dec:.1f} ms/req; per batch pack "
+        f"{tm['pack_ms'] / max(tm['calls'], 1):.1f} ms, device "
+        f"{tm['device_ms'] / max(tm['calls'], 1):.1f} ms; wall = device "
+        f"{dev_s:.1f}s ({dev_s / wall['s'] * 100:.0f}%) + pack {pack_s:.1f}s "
+        f"({pack_s / wall['s'] * 100:.0f}%) + transport/queueing "
+        f"{other:.1f}s ({other / wall['s'] * 100:.0f}%)"
     )
 
 

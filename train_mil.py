@@ -20,6 +20,8 @@ mean/std JSON reporting.
       --folds 5 --epochs 50 [--remix-mode cov --num-prototypes 8]
   python train_mil.py --model gtn   --feats-dir bags/ --labels labels.csv
   python train_mil.py --model h2mil --feats-dir bags/ --labels labels.csv
+  python train_mil.py --model h2mil --nested-bags --encoder kimia \
+      --feats-dir tiled/ --labels labels.csv   # REAL 2-level pyramid trees
 """
 from __future__ import annotations
 
@@ -32,8 +34,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 
-def load_bags(feats_dir: str, labels_csv: str):
-    """Returns (bags, labels, names, coords) — coords[i] is [N,2] int or None."""
+def read_labels_csv(labels_csv: str):
     labels_map = {}
     with open(labels_csv) as f:
         for line in f:
@@ -42,6 +43,12 @@ def load_bags(feats_dir: str, labels_csv: str):
                 continue
             name, label = line.split(",")[:2]
             labels_map[name] = int(label)
+    return labels_map
+
+
+def load_bags(feats_dir: str, labels_csv: str):
+    """Returns (bags, labels, names, coords) — coords[i] is [N,2] int or None."""
+    labels_map = read_labels_csv(labels_csv)
     bags, labels, names, coords = [], [], [], []
     for p in sorted(glob.glob(os.path.join(feats_dir, "*.np[yz]"))):
         name = os.path.basename(p).rsplit(".", 1)[0]
@@ -356,9 +363,76 @@ def run_gtn(args, bags, labels, coords):
 
 
 # ------------------------------------------------------------------------- #
+def load_nested_trees(nested_dir: str, labels_csv: str, encoder_name: str,
+                      ext: str = "jpeg", batch_size: int = 32):
+    """Real two-magnification H2MIL input: scan each slide's nested 2-level
+    bag (the tiler's nested_patches layout), featurize BOTH levels (and the
+    thumbnail, when present) with one encoder, and build real-pyramid
+    TreeGraphs — the reference's actual data path
+    (/root/reference/baselines/H2MIL/code/github_pretreat.py +
+    WSI_processing/KimiaNet_PyTorch_Feature_Extraction.py: one KimiaNet
+    over the 5x tiles, the 10x tiles, and the -1.jpeg thumbnail).
+
+    Slide directories live either directly under `nested_dir` or one class
+    level down (`nested_dir/<class>/<slide>/`, the tiler's out_base layout).
+    Returns (trees, labels, names)."""
+    from wsi_hgnn_tpu.graph.typed_graph import bucket_size
+    from wsi_hgnn_tpu.models.mil.h2mil import (
+        build_tree_graph_levels, scan_nested_bag,
+    )
+    from wsi_hgnn_tpu.pipeline.construct import make_encoder
+    from wsi_hgnn_tpu.pipeline.patches import iter_patch_batches
+
+    labels_map = read_labels_csv(labels_csv)
+    slide_dirs = []
+    for root, dirs, files in os.walk(nested_dir):
+        if any(f.endswith("." + ext) for f in files):
+            name = os.path.basename(root)
+            if name in labels_map:
+                slide_dirs.append((name, root))
+        # never descend into a slide's own child-tile directories
+        if os.path.basename(root) in labels_map:
+            dirs.clear()
+    slide_dirs.sort()
+    if not slide_dirs:
+        raise SystemExit(f"no labelled nested bags under {nested_dir}")
+
+    encoder = make_encoder(encoder_name, {"feature_dim": 1024},
+                           {}, {}, with_typing=False)
+
+    def featurize(paths):
+        if not paths:
+            return np.zeros((0, 1024), np.float32)
+        outs = [encoder(pb)[0] for pb in iter_patch_batches(paths, batch_size)]
+        return np.concatenate(outs)
+
+    parts, labels, names = [], [], []
+    for name, d in slide_dirs:
+        low_paths, xy1, high_paths, xy2, parent, thumb = scan_nested_bag(d, ext)
+        f1 = featurize(low_paths)
+        f2 = featurize(high_paths)
+        tf = featurize([thumb])[0] if thumb is not None else None
+        parts.append((f1, xy1, f2, xy2, parent, tf))
+        labels.append(labels_map[name])
+        names.append(name)
+
+    max_n = max_e = 0
+    for p in parts:
+        t = build_tree_graph_levels(*p)
+        max_n = max(max_n, int(t.node_mask.sum()))
+        max_e = max(max_e, int(t.edge_mask.sum()))
+    cap_n, cap_e = bucket_size(max_n, base=64), bucket_size(max_e, base=64)
+    trees = [build_tree_graph_levels(*p, node_capacity=cap_n,
+                                     edge_capacity=cap_e) for p in parts]
+    return trees, np.asarray(labels, np.int64), names
+
+
 def run_h2mil(args, bags, labels, coords):
-    """H2MIL: synthesised multi-resolution tree -> RAConv/IHPool head, CE,
-    Adam wd 5e-4 (main_baselines_kfold.py:346, :242)."""
+    """H2MIL: multi-resolution tree -> RAConv/IHPool head, CE, Adam wd 5e-4
+    (main_baselines_kfold.py:346, :242). With --nested-bags the tree levels
+    are REAL magnifications from the tiler's 2-level nested bags
+    (load_nested_trees); otherwise the parent level is synthesised from the
+    single-magnification bag features (build_tree_graph)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -369,20 +443,28 @@ def run_h2mil(args, bags, labels, coords):
     from wsi_hgnn_tpu.train.metrics import accuracy, metrics
 
     rng = np.random.RandomState(args.seed)
-    folds = kfold_indices(len(bags), args.folds, rng)
 
-    trees = []
-    max_n = max_e = 0
-    for b, xy in zip(bags, coords):
-        xy = xy if xy is not None else grid_coords(len(b))
-        t = build_tree_graph(b, xy, cell=args.cell)
-        max_n = max(max_n, int(t.node_mask.sum()))
-        max_e = max(max_e, int(t.edge_mask.sum()))
-    cap_n, cap_e = bucket_size(max_n, base=64), bucket_size(max_e, base=64)
-    for b, xy in zip(bags, coords):
-        xy = xy if xy is not None else grid_coords(len(b))
-        trees.append(build_tree_graph(b, xy, cell=args.cell,
-                                      node_capacity=cap_n, edge_capacity=cap_e))
+    if args.nested_bags:
+        trees, labels, names = load_nested_trees(
+            args.feats_dir, args.labels, args.encoder
+        )
+        print(f"{len(trees)} nested bags, classes: {np.bincount(labels)}")
+        in_dim = int(trees[0].feats.shape[1])
+    else:
+        trees = []
+        max_n = max_e = 0
+        for b, xy in zip(bags, coords):
+            xy = xy if xy is not None else grid_coords(len(b))
+            t = build_tree_graph(b, xy, cell=args.cell)
+            max_n = max(max_n, int(t.node_mask.sum()))
+            max_e = max(max_e, int(t.edge_mask.sum()))
+        cap_n, cap_e = bucket_size(max_n, base=64), bucket_size(max_e, base=64)
+        for b, xy in zip(bags, coords):
+            xy = xy if xy is not None else grid_coords(len(b))
+            trees.append(build_tree_graph(b, xy, cell=args.cell,
+                                          node_capacity=cap_n, edge_capacity=cap_e))
+        in_dim = int(bags[0].shape[1])
+    folds = kfold_indices(len(trees), args.folds, rng)
 
     model = H2MIL(hidden_dim=args.hidden, n_classes=args.num_classes,
                   k1=args.k1, k2=args.k2)
@@ -427,7 +509,7 @@ def run_h2mil(args, bags, labels, coords):
             save_fold_params(args.save_dir, "h2mil", fi, params,
                              dict(model="h2mil", num_classes=args.num_classes,
                                   hidden=args.hidden, k1=args.k1, k2=args.k2,
-                                  in_dim=int(bags[0].shape[1])))
+                                  in_dim=in_dim))
     return summarize("h2mil", fold_metrics)
 
 
@@ -452,6 +534,14 @@ def main(argv=None):
                     help="h2mil synthetic parent-level block size (tiles)")
     ap.add_argument("--k1", type=int, default=8)
     ap.add_argument("--k2", type=int, default=32)
+    ap.add_argument("--nested-bags", action="store_true",
+                    help="h2mil: --feats-dir is a tiler 2-level nested-bag "
+                         "IMAGE directory; both magnification levels are "
+                         "featurized and fed as REAL tree levels")
+    ap.add_argument("--encoder", default="random",
+                    choices=["random", "kimia", "efficientnet-b4"],
+                    help="nested-bag featurizer (the reference uses "
+                         "KimiaNet, H2MIL WSI_processing)")
     # ReMix (abmil/dsmil only)
     ap.add_argument("--remix-mode", default=None,
                     choices=[None, "replace", "append", "interpolate", "cov", "joint"])
@@ -465,6 +555,11 @@ def main(argv=None):
 
     ensure_backend()
     enable_compile_cache()
+
+    if args.nested_bags:
+        if args.model != "h2mil":
+            raise SystemExit("--nested-bags is an h2mil input mode")
+        return run_h2mil(args, None, None, None)
 
     bags, labels, names, coords = load_bags(args.feats_dir, args.labels)
     if not bags:

@@ -22,6 +22,12 @@ main_baselines_kfold}.py for fixed shapes:
 Inputs use the flat arrays of the reference's PyG Data: feats [N, D],
 (src, dst) tree-adjacency edges, node_type [N] in {0, 1, 2} (resolution
 level), tree [N] (parent index), xy [N, 2], plus masks.
+
+Two tree builders: `build_tree_graph_levels` consumes REAL two-
+magnification nested bags (the reference's actual pyramid,
+github_pretreat.py — scan with `scan_nested_bag`); `build_tree_graph`
+synthesises the parent level from single-magnification features when no
+pyramid exists.
 """
 from __future__ import annotations
 
@@ -127,6 +133,160 @@ def build_tree_graph(
              np.zeros(n1, np.int32)]
     dsts += [tree[child], child, np.zeros(n1, np.int32),
              off1 + np.arange(n1, dtype=np.int32)]
+    src = np.concatenate(srcs).astype(np.int32)
+    dst = np.concatenate(dsts).astype(np.int32)
+    e = len(src)
+
+    cap_n = node_capacity or bucket_size(n, base=bucket_base)
+    cap_e = edge_capacity or bucket_size(e, base=bucket_base)
+    if cap_n < n or cap_e < e:
+        raise ValueError(f"tree capacity too small: {n}>{cap_n} or {e}>{cap_e}")
+
+    def pad(x, cap, fill=0):
+        out = np.full((cap,) + x.shape[1:], fill, dtype=x.dtype)
+        out[: x.shape[0]] = x
+        return out
+
+    return TreeGraph(
+        feats=pad(all_feats, cap_n),
+        src=pad(src, cap_e),
+        dst=pad(dst, cap_e),
+        node_type=pad(node_type, cap_n),
+        tree=pad(tree, cap_n),
+        xy=pad(all_xy.astype(np.float32), cap_n),
+        node_mask=np.arange(cap_n) < n,
+        edge_mask=np.arange(cap_e) < e,
+    )
+
+
+def scan_nested_bag(bag_dir, ext: str = "jpeg"):
+    """Scan one 2-level nested bag directory (pipeline.tiler.nested_patches
+    layout: low-mag tiles ``{x}_{y}.{ext}`` at the root, each with an
+    optional child directory ``{x}_{y}/`` of high-mag tiles
+    ``{hx}_{hy}.{ext}``) into the reference's real-pyramid fields
+    (/root/reference/baselines/H2MIL/code/github_pretreat.py:60-331:
+    per-level node lists with grid coords, the 10x -> 5x parent map, and the
+    optional slide thumbnail the reference featurizes as ``-1.jpeg``).
+
+    Returns ``(low_paths, low_xy [n1,2] int, high_paths, high_xy [n2,2] int,
+    parent [n2] int index into low_paths, thumb_path | None)``. Childless
+    low tiles are kept (the reference keeps them too — tiler.py:231-238).
+    """
+    import numpy as np
+    from pathlib import Path
+
+    bag = Path(bag_dir)
+    thumb = None
+    low = []
+    for p in sorted(bag.glob(f"*.{ext}")):
+        stem = p.name.rsplit(".", 1)[0]
+        if stem in ("-1", "thumbnail"):
+            thumb = p
+            continue
+        x, y = stem.split("_")[:2]
+        low.append((p, int(x), int(y)))
+    if not low:
+        raise FileNotFoundError(f"no low-magnification tiles under {bag}")
+    high, parent = [], []
+    for i, (p, x, y) in enumerate(low):
+        child_dir = bag / f"{x}_{y}"
+        if not child_dir.is_dir():
+            continue
+        for hp in sorted(child_dir.glob(f"*.{ext}")):
+            hx, hy = hp.name.rsplit(".", 1)[0].split("_")[:2]
+            high.append((hp, int(hx), int(hy)))
+            parent.append(i)
+    low_paths = [p for p, _, _ in low]
+    low_xy = np.asarray([(x, y) for _, x, y in low], np.int64).reshape(-1, 2)
+    high_paths = [p for p, _, _ in high]
+    high_xy = np.asarray([(x, y) for _, x, y in high], np.int64).reshape(-1, 2)
+    return (low_paths, low_xy, high_paths, high_xy,
+            np.asarray(parent, np.int32), thumb)
+
+
+def build_tree_graph_levels(
+    feats1,
+    xy1,
+    feats2,
+    xy2,
+    parent,
+    thumb_feat=None,
+    node_capacity: Optional[int] = None,
+    edge_capacity: Optional[int] = None,
+    bucket_base: int = 256,
+) -> TreeGraph:
+    """Build the H2MIL tree from REAL two-magnification features — the
+    reference's actual input contract (github_pretreat.py): node 0 is the
+    slide thumbnail, level 1 the low-magnification (5x) tiles, level 2 the
+    high-magnification (10x) tiles nested under their level-1 parents.
+
+    Matches the reference field for field:
+      * edges (get_edge_index_2, github_pretreat.py:94-206): thumbnail <->
+        every level-1 node (both directions), level-1 <-> each of its
+        level-2 children (both directions), plus 8-neighbour grid adjacency
+        within each level (symmetric by construction);
+      * node_tree (:228-254): level-1 -> thumbnail, level-2 -> its level-1
+        parent (the thumbnail points at itself — the reference's -1
+        sentinel is never dereferenced, ours must stay a valid index);
+      * x_y_index (:257-315 + main_baselines_kfold.py:60): per-level grid
+        coords divided by that level's max, then ``* 2 - 1``; the thumbnail
+        sits at (0, 0) -> (-1, -1).
+
+    thumb_feat: the featurized slide thumbnail (the reference extracts a
+    real ``-1.jpeg`` thumbnail feature, WSI_processing/generate_thumbnail
+    .py). When None the level-1 feature mean stands in — a documented
+    degradation for bags tiled without a thumbnail.
+    """
+    import numpy as np
+
+    from ...graph.typed_graph import bucket_size
+    from .simclr import spatial_adjacency
+
+    feats1 = np.asarray(feats1, np.float32)
+    feats2 = np.asarray(feats2, np.float32)
+    xy1 = np.asarray(xy1, np.int64).reshape(-1, 2)
+    xy2 = np.asarray(xy2, np.int64).reshape(-1, 2)
+    parent = np.asarray(parent, np.int32)
+    n1, d = feats1.shape
+    n2 = feats2.shape[0]
+    if n2 != len(parent):
+        raise ValueError(f"{n2} level-2 nodes but {len(parent)} parents")
+    if n2 and (parent.min() < 0 or parent.max() >= n1):
+        raise ValueError("parent indices out of the level-1 range")
+
+    root_feat = (feats1.mean(0, keepdims=True) if thumb_feat is None
+                 else np.asarray(thumb_feat, np.float32).reshape(1, d))
+
+    # per-level max normalisation then * 2 - 1 (github_pretreat.py:298-315,
+    # main_baselines_kfold.py:60); thumbnail (0, 0) -> (-1, -1)
+    def norm(xy):
+        mx = np.maximum(xy.max(0), 1) if len(xy) else np.ones(2)
+        return xy.astype(np.float64) / mx * 2.0 - 1.0
+
+    all_xy = np.concatenate(
+        [np.full((1, 2), -1.0), norm(xy1), norm(xy2)], 0
+    )
+
+    off1, off2 = 1, 1 + n1
+    n = off2 + n2
+    all_feats = np.concatenate([root_feat, feats1, feats2], 0)
+    node_type = np.concatenate(
+        [np.zeros(1, np.int32), np.ones(n1, np.int32), np.full(n2, 2, np.int32)]
+    )
+    tree = np.concatenate(
+        [np.zeros(1, np.int32), np.zeros(n1, np.int32), off1 + parent]
+    )
+
+    src1, dst1 = spatial_adjacency([tuple(c) for c in xy1])
+    src2, dst2 = spatial_adjacency([tuple(c) for c in xy2])
+    l1 = off1 + np.arange(n1, dtype=np.int32)
+    child = off2 + np.arange(n2, dtype=np.int32)
+    srcs = [off1 + src1, off2 + src2,
+            l1, np.zeros(n1, np.int32),          # level-1 <-> thumbnail
+            child, tree[child]]                   # level-2 <-> parent
+    dsts = [off1 + dst1, off2 + dst2,
+            np.zeros(n1, np.int32), l1,
+            tree[child], child]
     src = np.concatenate(srcs).astype(np.int32)
     dst = np.concatenate(dsts).astype(np.int32)
     e = len(src)

@@ -137,6 +137,10 @@ class SlidePredictor:
 
         self._predict_typed = _predict_typed
         self._lock = threading.Lock()  # device calls serialized per predictor
+        # per-call host-packing vs device time, for the serving-overhead
+        # split (tools/bench_serve.py): answers WHERE a deployment's time
+        # goes without a profiler attached
+        self.timing = {"pack_ms": 0.0, "device_ms": 0.0, "calls": 0}
 
     def _predict_fn_for(self, batch: int, cap: int):
         """Pick the lattice or TypedGraph program for a padded group of
@@ -189,16 +193,22 @@ class SlidePredictor:
         """[(features [N_i, D], node_types [N_i] | None)] -> probs [B, C].
         One compiled call for the whole group (slides are padded to the
         group's bucket capacity)."""
+        t0 = time.perf_counter()
         feats, ntypes, mask = self.pack(slides)
         import jax.numpy as jnp
 
         fn = self._predict_fn_for(feats.shape[0], feats.shape[1])
         with self._lock:
-            probs = fn(
+            t1 = time.perf_counter()
+            probs = np.asarray(fn(
                 self.variables, jnp.asarray(feats), jnp.asarray(ntypes),
                 jnp.asarray(mask),
-            )
-        return np.asarray(probs)
+            ))
+            t2 = time.perf_counter()
+            self.timing["pack_ms"] += (t1 - t0) * 1e3
+            self.timing["device_ms"] += (t2 - t1) * 1e3
+            self.timing["calls"] += 1
+        return probs
 
     def predict(
         self, features: np.ndarray, node_types: Optional[np.ndarray] = None
@@ -277,6 +287,7 @@ class BatchingServer:
         self.stats = {
             "requests": 0, "batches": 0, "errors": 0,
             "batched_requests_max": 0, "latency_ms_sum": 0.0,
+            "decode_ms_sum": 0.0,  # HTTP body read + npz decode per request
         }
         self._stats_lock = threading.Lock()
         self._stop = threading.Event()
@@ -327,14 +338,18 @@ class BatchingServer:
                                  f"{server.max_body}"})
                     return
                 try:
+                    t_dec = time.perf_counter()
                     z = np.load(io.BytesIO(self.rfile.read(length)),
                                 allow_pickle=False)
                     feats = np.asarray(z["features"], np.float32)
                     ntypes = (np.asarray(z["node_types"], np.int32)
                               if "node_types" in z else None)
+                    t_dec = (time.perf_counter() - t_dec) * 1e3
                 except Exception as e:
                     self._reply(400, {"error": f"bad request: {e}"})
                     return
+                with server._stats_lock:
+                    server.stats["decode_ms_sum"] += t_dec
                 # validate per request so one bad payload 400s alone
                 # instead of failing its whole micro-batch
                 if feats.ndim != 2 or feats.shape[0] == 0:

@@ -45,7 +45,9 @@ FEAT_DIM = 1024       # KimiaNet feature width
 RADIUS = 9            # BRCA/COAD graph-construction operating point
 N_TYPES = 6           # PanNuke node types
 HIDDEN = 256
-CHUNK = 32            # patches per CNN step (HoVer-Net's comfortable batch)
+CHUNK = 128           # patches per CNN step (batch-ladder winner: 2.30 ms/patch
+                      # typing at b128 vs 2.64 at b16/2.69 at b32; b256 OOMs on
+                      # d0's full-res activations — PERF_NOTES round-4 ladder)
 COHORT_STEPS = 4      # slides streamed per compiled call
 # DenseNet121 ~2.83 GMACs at 224^2 (torchvision), scaled to 256^2, x2 FLOPs,
 # + HoVer-Net encoder + tp decoder 213 GF/patch (XLA-counted; the encoder

@@ -1,7 +1,8 @@
 """Stage-cost ladder for the HoVer-Net typing program on TPU.
 
-hovernet_typing_apply measures 2.65 ms/patch (~10% MFU); ideal
-compute+bandwidth floor is ~0.4 ms/patch. This times each pipeline stage
+hovernet_typing_apply measures 2.30 ms/patch at the b128 operating point
+(47% MFU at the XLA-counted 213 GF/patch); the bytes-accessed floor is
+~2.0 ms/patch (PERF_NOTES). This times each pipeline stage
 as raw jnp ops with random weights of the exact shapes (timing-faithful;
 the flax modules lower to the same XLA ops) so the optimisation target is
 chosen by measurement, not guess. Relay-honest scan protocol throughout.

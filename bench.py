@@ -60,7 +60,8 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def measure_tpu() -> float:
+def measure_tpu() -> "tuple[float, int]":
+    """Returns (slides/sec across the cohort, device count used)."""
     import jax
 
     from wsi_hgnn_tpu.utils import enable_compile_cache
@@ -124,8 +125,12 @@ def measure_tpu() -> float:
     # v5e-8 the same code runs 8 slide streams.
     from jax.sharding import Mesh, PartitionSpec as P
 
-    n_dev = jax.local_device_count()
-    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    # single-process bench: the mesh and the pool sizing must agree, so both
+    # derive from the same jax.devices() list (a multi-host run would need
+    # per-host pool shards via make_array_from_process_local_data instead)
+    devices = jax.devices()
+    n_dev = len(devices)
+    mesh = Mesh(np.asarray(devices), ("data",))
     log(f"slide cohort sharded over all {n_dev} local device(s)")
 
     # pixel pool: patch pixels pregenerated ON DEVICE, outside the timed
@@ -344,10 +349,11 @@ def _torch_hovernet_typing_seconds_per_slide() -> float:
     return per_patch * N_PATCHES
 
 
-def measure_reference_baseline() -> float:
+def measure_reference_baseline() -> "tuple[float, float]":
     """Same-host re-enactment of the reference's dominant stages: HoVer-Net
     typing + torchvision densenet121 per-patch inference (CPU torch — the
-    reference used a GPU; see module docstring) + host KNN/Pearson build."""
+    reference used a GPU; see module docstring) + host KNN/Pearson build.
+    Returns (slides/sec, host graph-build seconds/slide)."""
     rng = np.random.RandomState(1)
 
     t_hover = 0.0

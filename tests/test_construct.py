@@ -124,8 +124,9 @@ def test_inline_typing_single_pass(tmp_path, monkeypatch):
     calls = {"n_batches": 0, "with_typing": None}
 
     def fake_make_cnn_encoder(name, config, hov, kim, with_typing=False,
-                              mesh=None):
+                              mesh=None, pad_batch_to=None):
         assert name == "kimia"
+        assert pad_batch_to == 4  # one compiled shape incl. trailing chunks
         calls["with_typing"] = with_typing
 
         def encode(patches):

@@ -304,3 +304,31 @@ def test_efficientnet_convert_skips_mismatched_fc():
     sd["_fc.bias"] = rng.randn(1024).astype(np.float32)
     out = convert.efficientnet_torch_to_flax(sd, num_classes=1024)
     assert out["params"]["fc"]["kernel"].shape == (1792, 1024)
+
+
+def test_make_encode_fixed_shape_padding():
+    """_make_encode with pad_batch_to pads every chunk (full, trailing,
+    batch-1 thumbnail) to ONE compiled shape and slices the pad back off —
+    a compile per trailing-chunk size costs minutes on remote-compile
+    platforms (pipeline operating point: hovernet batch_size)."""
+    from wsi_hgnn_tpu.models.featurizers import _make_encode
+
+    seen = []
+
+    def fn(imgs):
+        seen.append(imgs.shape[0])
+        return imgs.reshape(imgs.shape[0], -1)[:, :4], np.full(
+            imgs.shape[0], 2, np.int32)
+
+    enc = _make_encode(fn, n_dev=1, pad_batch_to=8)
+    for b in (8, 5, 1):
+        feats, types = enc(np.random.RandomState(b).rand(b, 2, 2, 3))
+        assert feats.shape == (b, 4) and feats.dtype == np.float32
+        assert types.shape == (b,)
+    assert set(seen) == {8}  # one shape -> one XLA program
+
+    # tuple-vs-array outputs normalise: a featurizer without typing
+    enc2 = _make_encode(lambda im: im.reshape(im.shape[0], -1)[:, :4],
+                        n_dev=4, pad_batch_to=None)
+    feats, types = enc2(np.ones((6, 2, 2, 3), np.float32))
+    assert feats.shape == (6, 4) and types is None

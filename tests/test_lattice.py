@@ -117,6 +117,60 @@ def test_typed_linear_ragged_matches_onehot():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_typed_linear_ragged_batching_safe():
+    """typed_linear_ragged under every batching composition == the one-hot
+    form: plain vmap, vmap of a jax.checkpoint'd caller (the batch tracer
+    is invisible inside the remat body — the case no caller-side dispatch
+    can catch), grad-of-vmap, and per-example vmap-of-grad. The custom_vmap
+    rules swap in the one-hot form; unbatched traces keep the ragged GEMM."""
+    from wsi_hgnn_tpu.graph import ops
+
+    rng = np.random.RandomState(5)
+    B, M, Din, H = 3, 33, 12, 8
+    x = jnp.asarray(rng.randn(B, M, Din).astype(np.float32))
+    ty = jnp.asarray(rng.randint(0, T, (B, M)).astype(np.int32))
+    w = jnp.asarray(rng.randn(T, Din, H).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(T, H).astype(np.float32))
+
+    ref = np.asarray(
+        jax.vmap(lambda xx, tt: ops.typed_linear(xx, tt, w, b))(x, ty))
+
+    out = np.asarray(
+        jax.vmap(lambda xx, tt: ops.typed_linear_ragged(xx, tt, w, b))(x, ty))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    out = np.asarray(jax.vmap(jax.checkpoint(
+        lambda xx, tt: ops.typed_linear_ragged(xx, tt, w, b)))(x, ty))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def batched_loss(fn):
+        return lambda w_: (
+            jax.vmap(lambda xx, tt: fn(xx, tt, w_, b))(x, ty) ** 2).sum()
+
+    gw_ref = np.asarray(jax.grad(batched_loss(ops.typed_linear))(w))
+    gw = np.asarray(jax.grad(batched_loss(ops.typed_linear_ragged))(w))
+    np.testing.assert_allclose(gw, gw_ref, rtol=1e-4, atol=1e-4)
+
+    def per_ex(fn):
+        return jax.vmap(jax.grad(
+            lambda xx, tt: (fn(xx, tt, w, b) ** 2).sum(), argnums=0),
+            in_axes=(0, 0))(x, ty)
+
+    np.testing.assert_allclose(
+        np.asarray(per_ex(ops.typed_linear_ragged)),
+        np.asarray(per_ex(ops.typed_linear)), rtol=1e-4, atol=1e-4)
+
+    # grad of a checkpoint'd + vmapped caller (remat in a DP train step)
+    def remat_loss(fn):
+        return lambda w_: jax.vmap(jax.checkpoint(
+            lambda xx, tt: (fn(xx, tt, w_, b) ** 2).sum()))(x, ty).sum()
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(remat_loss(ops.typed_linear_ragged))(w)),
+        np.asarray(jax.grad(remat_loss(ops.typed_linear))(w)),
+        rtol=1e-4, atol=1e-4)
+
+
 def test_lattice_ragged_typed_matches_onehot_model():
     """typed_impl='ragged' (the default) == 'onehot' on the full HEATNet4
     lattice forward and its parameter gradients, same params."""

@@ -76,8 +76,12 @@ def test_predict_single_and_grouped_agree(tmp_path):
     # grouping / padding must not change per-slide results
     for s, expect in zip(slides, grouped):
         np.testing.assert_allclose(pred.predict(*s), expect, atol=2e-5)
-    # the overhead-split accounting (tools/bench_serve.py) saw every call
+    # the overhead-split accounting (tools/bench_serve.py) saw every call;
+    # first calls at a fresh (program, batch, cap) shape book their XLA
+    # compile to compile_ms, keeping device_ms steady-state only
     assert pred.timing["calls"] == 4
+    assert pred.timing["cold_calls"] == 2  # batch-3 group + first batch-1
+    assert pred.timing["compile_ms"] > 0
     assert pred.timing["device_ms"] > 0 and pred.timing["pack_ms"] > 0
 
 

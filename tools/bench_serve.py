@@ -126,7 +126,7 @@ def main():
              for _ in range(args.max_batch)]
             for _ in range(2)
         ]
-        predictor.timing = {"pack_ms": 0.0, "device_ms": 0.0, "calls": 0}
+        predictor.reset_timing()
         n_batches = max(args.requests // args.max_batch, 1)
         t0 = time.perf_counter()
         for i in range(n_batches):
@@ -134,13 +134,16 @@ def main():
         wall_s = time.perf_counter() - t0
         tm = predictor.timing
         n = n_batches * args.max_batch
+        warm = max(tm["calls"] - tm["cold_calls"], 1)
         print(
             f"inproc (no HTTP, pre-decoded): {n} slides of {args.patches} x "
             f"{predictor.in_dim}-d in {wall_s:.1f}s -> {n / wall_s:.2f} "
-            f"slides/s; per device batch of {args.max_batch}: pack "
+            f"slides/s; per WARM device batch of {args.max_batch}: pack "
             f"{tm['pack_ms'] / tm['calls']:.1f} ms, device "
-            f"{tm['device_ms'] / tm['calls']:.1f} ms "
-            f"({tm['device_ms'] / max(tm['pack_ms'] + tm['device_ms'], 1e-9) * 100:.0f}% device)"
+            f"{tm['device_ms'] / warm:.1f} ms "
+            f"({tm['device_ms'] / max(tm['pack_ms'] + tm['device_ms'], 1e-9) * 100:.0f}% device); "
+            f"{tm['cold_calls']} cold call(s) booked "
+            f"{tm['compile_ms'] / 1e3:.1f}s compile"
         )
         return
 
@@ -152,7 +155,7 @@ def main():
     t0 = time.perf_counter()
     server.warmup(args.patches)
     print(f"warmup done in {time.perf_counter() - t0:.1f}s", flush=True)
-    predictor.timing = {"pack_ms": 0.0, "device_ms": 0.0, "calls": 0}
+    predictor.reset_timing()
 
     # one request body per client, rotated (synthesis off the clock)
     rng = np.random.RandomState(1)
@@ -216,18 +219,24 @@ def main():
         f"{stats['batched_requests_max']}, errors {stats['errors']}"
     )
     # overhead split: where the wall time went. decode is per-request
-    # handler work; pack+device are per device batch (predictor.timing);
+    # handler work; pack/device/compile/lock-wait are per device batch
+    # (predictor.timing — cold per-shape compiles are booked separately so
+    # one multi-second XLA compile can't read as steady-state device time);
     # the remainder of the wall clock is transport + micro-batch queueing.
     tm = predictor.timing
     dec = stats["decode_ms_sum"] / max(stats["requests"], 1)
     pack_s = tm["pack_ms"] / 1e3
     dev_s = tm["device_ms"] / 1e3
-    other = wall["s"] - pack_s - dev_s
+    comp_s = tm["compile_ms"] / 1e3
+    other = wall["s"] - pack_s - dev_s - comp_s
+    warm = max(tm["calls"] - tm["cold_calls"], 1)
     print(
         f"split: decode {dec:.1f} ms/req; per batch pack "
-        f"{tm['pack_ms'] / max(tm['calls'], 1):.1f} ms, device "
-        f"{tm['device_ms'] / max(tm['calls'], 1):.1f} ms; wall = device "
-        f"{dev_s:.1f}s ({dev_s / wall['s'] * 100:.0f}%) + pack {pack_s:.1f}s "
+        f"{tm['pack_ms'] / max(tm['calls'], 1):.1f} ms, warm device "
+        f"{tm['device_ms'] / warm:.1f} ms, lock wait "
+        f"{tm['lock_wait_ms'] / max(tm['calls'], 1):.1f} ms; wall = device "
+        f"{dev_s:.1f}s ({dev_s / wall['s'] * 100:.0f}%) + compile {comp_s:.1f}s "
+        f"({tm['cold_calls']} cold calls) + pack {pack_s:.1f}s "
         f"({pack_s / wall['s'] * 100:.0f}%) + transport/queueing "
         f"{other:.1f}s ({other / wall['s'] * 100:.0f}%)"
     )

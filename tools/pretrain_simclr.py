@@ -226,7 +226,15 @@ def extract(args):
         feats = []
         for s in range(0, len(paths), args.batch):
             imgs = load_batch(paths[s:s + args.batch], size)
-            feats.append(np.asarray(feats_fn(jnp.asarray(imgs)), np.float32))
+            # pad the trailing chunk to the full batch so every call hits
+            # ONE compiled program (a compile per trailing size costs
+            # minutes on remote-compile platforms); slice the pad back off
+            b = imgs.shape[0]
+            if b < args.batch:
+                imgs = np.concatenate(
+                    [imgs, np.repeat(imgs[-1:], args.batch - b, axis=0)])
+            feats.append(
+                np.asarray(feats_fn(jnp.asarray(imgs)), np.float32)[:b])
         feats = np.concatenate(feats)
         try:
             xy = np.asarray(coords_from_patch_names(

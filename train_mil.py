@@ -397,8 +397,11 @@ def load_nested_trees(nested_dir: str, labels_csv: str, encoder_name: str,
     if not slide_dirs:
         raise SystemExit(f"no labelled nested bags under {nested_dir}")
 
+    # pad_batch_to: one compiled CNN shape for full chunks, trailing chunks
+    # AND the batch-1 thumbnail call (compiles cost minutes on the relay)
     encoder = make_encoder(encoder_name, {"feature_dim": 1024},
-                           {}, {}, with_typing=False)
+                           {}, {}, with_typing=False,
+                           pad_batch_to=batch_size)
 
     def featurize(paths):
         if not paths:

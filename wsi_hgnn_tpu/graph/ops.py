@@ -320,21 +320,6 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def under_batch_trace(*xs) -> bool:
-    """True when any argument is currently traced by vmap.
-
-    `jax.lax.ragged_dot`'s batching rule is NYI beyond dim-0 on this
-    environment's jax (0.9.0 raises ``NotImplementedError: ragged_dot vmap
-    over any dim but 0``), so callers that may run under an outer vmap (the
-    DP train step maps the device axis) dispatch STRUCTURALLY on this check
-    rather than catching NotImplementedError — an exception-type change in
-    a future jax then surfaces loudly instead of silently degrading the
-    unbatched hot path (ADVICE r3)."""
-    from jax._src.interpreters import batching  # public alias removed in 0.9
-
-    return any(isinstance(x, batching.BatchTracer) for x in xs)
-
-
 def make_type_sort(node_type: jax.Array, n_types: int) -> TypeSort:
     perm = jnp.argsort(node_type, stable=True).astype(jnp.int32)
     inv = jnp.argsort(perm).astype(jnp.int32)
@@ -345,26 +330,132 @@ def make_type_sort(node_type: jax.Array, n_types: int) -> TypeSort:
     return TypeSort(perm, inv, group_sizes)
 
 
+# `jax.lax.ragged_dot`'s batching rule is NYI beyond dim-0 on this
+# environment's jax (0.9.0 raises ``NotImplementedError: ragged_dot vmap
+# over any dim but 0``), and the failure can surface OUTSIDE any caller's
+# frame (vmap of a jax.checkpoint'd model batches the staged jaxpr after
+# the module body already ran, so neither an except nor a tracer check in
+# the module can intervene).  The robust fix is structural at the op
+# level: the forward and backward ragged cores each carry a
+# `jax.custom_batching.custom_vmap` rule that swaps in the equivalent
+# vmap-polymorphic one-hot form, so `vmap`/`vmap∘checkpoint`/`vmap∘grad`/
+# `grad∘vmap` of any model using the ragged path just work, while every
+# unbatched trace (jit, grad, shard_map shards — the measured hot paths)
+# keeps the grouped GEMM.  custom_vmap alone breaks autodiff, so the
+# public entry is a custom_vjp whose fwd AND bwd route through custom_vmap
+# cores; the hand-written bwd is exactly the ops jax's native ragged_dot
+# VJP lowers to (two ragged_dot_generals, read from its jaxpr), plus
+# inverse-permutation gathers instead of autodiff's scatter-add (TPU's
+# weakest primitive — same motivation as models.lattice.gather_dst).
+
+# standard ragged-mode: [N, H] x [T, H, D] grouped along rows -> [N, D]
+_RAGGED_STD = jax.lax.RaggedDotDimensionNumbers(
+    dot_dimension_numbers=(((1,), (1,)), ((), ())),
+    lhs_ragged_dimensions=[0], rhs_group_dimensions=[0],
+)
+# ragged-contracting mode: [N, D] x [N, H] grouped outer product -> [T, D, H]
+_RAGGED_OUTER = jax.lax.RaggedDotDimensionNumbers(
+    dot_dimension_numbers=(((0,), (0,)), ((), ())),
+    lhs_ragged_dimensions=[0], rhs_group_dimensions=[],
+)
+
+
+# The fwd core returns (y, rows) where `rows` is the residual the bwd
+# core consumes: the SORTED rows xs = feat[perm] on the ragged path (so
+# the bwd's grouped outer product needs no re-gather), and plain `feat`
+# on the batched one-hot path. The interpretations never mix because a
+# custom_vjp's fwd and bwd calls sit in one consumer computation — any
+# vmap batches both, selecting both batched rules together.
+@jax.custom_batching.custom_vmap
+def _ragged_apply(feat, node_type, weights, biases, perm, inv, group_sizes):
+    xs = feat[perm]
+    ys = jax.lax.ragged_dot(
+        xs, weights, group_sizes, preferred_element_type=feat.dtype
+    )
+    y = ys[inv]
+    oh = jax.nn.one_hot(node_type, weights.shape[0], dtype=feat.dtype)
+    return y + oh @ biases, xs
+
+
+@_ragged_apply.def_vmap
+def _ragged_apply_vmap(axis_size, in_batched, feat, node_type, weights,
+                       biases, perm, inv, group_sizes):
+    fb, nb, wb, bb = in_batched[:4]
+    out = jax.vmap(
+        typed_linear,
+        in_axes=(0 if fb else None, 0 if nb else None,
+                 0 if wb else None, 0 if bb else None),
+        axis_size=axis_size,
+    )(feat, node_type, weights, biases)
+    rows = feat if fb else jnp.broadcast_to(feat, (axis_size,) + feat.shape)
+    return (out, rows), (True, True)
+
+
+def _onehot_bwd(g, feat, node_type, weights):
+    oh = jax.nn.one_hot(node_type, weights.shape[0], dtype=g.dtype)
+    dfeat = jnp.einsum("nh,tdh,nt->nd", g, weights, oh)
+    dw = jnp.einsum("nd,nh,nt->tdh", feat, g, oh)
+    db = jnp.einsum("nh,nt->th", g, oh)
+    return dfeat, dw, db
+
+
+@jax.custom_batching.custom_vmap
+def _ragged_bwd(g, rows, node_type, weights, perm, inv, group_sizes):
+    gso = g[perm]
+    dxs = jax.lax.ragged_dot_general(
+        gso, weights.transpose(0, 2, 1), group_sizes, _RAGGED_STD,
+        preferred_element_type=g.dtype,
+    )
+    dfeat = dxs[inv]
+    dw = jax.lax.ragged_dot_general(
+        rows, gso, group_sizes, _RAGGED_OUTER,
+        preferred_element_type=weights.dtype,
+    )
+    # bias grad as the one-hot transpose GEMM, not segment_sum — the
+    # scatter-add it lowers to is TPU's weakest primitive
+    oh = jax.nn.one_hot(node_type, weights.shape[0], dtype=g.dtype)
+    db = jnp.einsum("nh,nt->th", g, oh).astype(weights.dtype)
+    return dfeat, dw, db
+
+
+@_ragged_bwd.def_vmap
+def _ragged_bwd_vmap(axis_size, in_batched, g, rows, node_type, weights,
+                     perm, inv, group_sizes):
+    gb, rb, nb, wb = in_batched[:4]
+    # `rows` is unsorted feat here — the batched fwd rule put it there
+    outs = jax.vmap(
+        _onehot_bwd,
+        in_axes=(0 if gb else None, 0 if rb else None,
+                 0 if nb else None, 0 if wb else None),
+        axis_size=axis_size,
+    )(g, rows, node_type, weights)
+    return outs, (True, True, True)
+
+
 @jax.custom_vjp
-def _perm_rows(x: jax.Array, fwd_idx: jax.Array, bwd_idx: jax.Array):
-    """x[fwd_idx] for a PERMUTATION fwd_idx, with the transpose run as the
-    inverse-permutation gather instead of autodiff's scatter-add (TPU's
-    weakest primitive — same motivation as models.lattice.gather_dst)."""
-    del bwd_idx
-    return x[fwd_idx]
+def _typed_linear_ragged(feat, node_type, weights, biases, perm, inv,
+                         group_sizes):
+    y, _ = _ragged_apply(feat, node_type, weights, biases, perm, inv,
+                         group_sizes)
+    return y
 
 
-def _perm_rows_fwd(x, fwd_idx, bwd_idx):
-    return x[fwd_idx], (fwd_idx, bwd_idx)
+def _typed_linear_ragged_fwd(feat, node_type, weights, biases, perm, inv,
+                             group_sizes):
+    y, rows = _ragged_apply(feat, node_type, weights, biases, perm, inv,
+                            group_sizes)
+    return y, (rows, node_type, weights, perm, inv, group_sizes)
 
 
-def _perm_rows_bwd(res, g):
-    fwd_idx, bwd_idx = res
-    del fwd_idx
-    return g[bwd_idx], None, None
+def _typed_linear_ragged_bwd(res, g):
+    rows, node_type, weights, perm, inv, group_sizes = res
+    dfeat, dw, db = _ragged_bwd(g, rows, node_type, weights, perm, inv,
+                                group_sizes)
+    return dfeat, None, dw, db, None, None, None
 
 
-_perm_rows.defvjp(_perm_rows_fwd, _perm_rows_bwd)
+_typed_linear_ragged.defvjp(_typed_linear_ragged_fwd,
+                            _typed_linear_ragged_bwd)
 
 
 def typed_linear_ragged(
@@ -381,19 +472,18 @@ def typed_linear_ragged(
     residual bound of the lattice train step, PERF_NOTES r3).  Here rows
     are permuted type-major once and `jax.lax.ragged_dot` runs ONE GEMM
     whose weight matrix switches at group boundaries: 1x FLOPs, no [T,N,H]
-    round-trip.  Both permutations carry inverse-permutation VJPs, so the
-    backward is two gathers + ragged_dot's grouped transposes — no
+    round-trip.  The permutations carry inverse-permutation backwards, so
+    the bwd is two gathers + ragged_dot's grouped transposes — no
     scatters.  Exact up to f32 reassociation vs typed_linear.  Measured
     1.1-1.5x over the one-hot form across the b2/4/8 TPU train ladder
     (PERF_NOTES round-3 cont.) — the lattice models' default typed_impl.
+
+    Batching-safe: under ANY vmap (including one applied to a
+    jax.checkpoint'd caller, where the batch tracer is invisible from
+    here) the custom_vmap rules above swap in the equivalent one-hot
+    form, so callers never need to dispatch on the trace themselves.
     """
     if tsort is None:
         tsort = make_type_sort(node_type, weights.shape[0])
-    xs = _perm_rows(feat, tsort.perm, tsort.inv)
-    ys = jax.lax.ragged_dot(
-        xs, weights, tsort.group_sizes,
-        preferred_element_type=feat.dtype,
-    )
-    y = _perm_rows(ys, tsort.inv, tsort.perm)
-    oh = jax.nn.one_hot(node_type, weights.shape[0], dtype=feat.dtype)
-    return y + oh @ biases
+    return _typed_linear_ragged(feat, node_type, weights, biases,
+                                tsort.perm, tsort.inv, tsort.group_sizes)

@@ -123,9 +123,35 @@ def _pad_rows(arr: np.ndarray, multiple: int) -> np.ndarray:
     return arr
 
 
+def _make_encode(fn, n_dev: int, pad_batch_to: Optional[int]):
+    """The numpy boundary shared by every encoder: pad the chunk's batch
+    dim, run the jitted/sharded program, slice the pad back off, and
+    normalise the output to `(features f32, node_types | None)`.
+
+    pad_batch_to pads every chunk up to the caller's fixed chunk size so
+    full AND trailing chunks (and a lone thumbnail) hit ONE compiled XLA
+    program — a trailing chunk of every possible size would otherwise
+    each compile its own program (minutes per shape on remote-compile
+    platforms). The extra rows are repeats of the last patch; their cost
+    is milliseconds of MXU time. Padding to a multiple of the mesh size
+    (n_dev) keeps the sharded batch divisible either way."""
+    def encode(patches: np.ndarray):
+        arr = np.asarray(patches, np.float32)
+        b = arr.shape[0]
+        if pad_batch_to:
+            arr = _pad_rows(arr, pad_batch_to)
+        arr = _pad_rows(arr, n_dev)
+        out = fn(arr)
+        feats, types = out if isinstance(out, tuple) else (out, None)
+        feats = np.asarray(feats, np.float32)[:b]
+        return feats, (None if types is None else np.asarray(types)[:b])
+
+    return encode
+
+
 def make_cnn_encoder(name: str, config: Dict, hovernet_config: Dict,
                      kimianet_config: Dict, with_typing: bool = False,
-                     mesh=None):
+                     mesh=None, pad_batch_to: Optional[int] = None):
     """Build a `(patches [B,256,256,3] f32) -> (features, node_types)`
     encoder, mirroring GraphConstructor.__init__'s dispatch
     (/root/reference/construct_graph/graph_constructor.py:237-254).
@@ -145,6 +171,10 @@ def make_cnn_encoder(name: str, config: Dict, hovernet_config: Dict,
     graph_constructor.py:124,179): each chunk is batch-sharded via
     shard_map, weights replicated; chunks whose size does not divide the
     mesh are padded with the last patch and sliced back.
+
+    pad_batch_to: pad every chunk to this fixed batch so all chunk sizes
+    share one compiled program (see _make_encode) — pass the pipeline's
+    chunk size (hovernet_config batch_size) here.
 
     Checkpoints are loaded when the corresponding *_model_path exists;
     otherwise the encoder runs from random init (documented degradation —
@@ -168,13 +198,7 @@ def make_cnn_encoder(name: str, config: Dict, hovernet_config: Dict,
             ),
             mesh,
         )
-
-        def encode(patches: np.ndarray):
-            b = patches.shape[0]
-            feats, types = full(_pad_rows(np.asarray(patches, np.float32), n_dev))
-            return np.asarray(feats, np.float32)[:b], np.asarray(types)[:b]
-
-        return encode
+        return _make_encode(full, n_dev, pad_batch_to)
 
     # fused two-CNN program: the typing head composes into the SAME jitted
     # call as the featurizer, so each decoded patch chunk is uploaded once
@@ -188,24 +212,11 @@ def make_cnn_encoder(name: str, config: Dict, hovernet_config: Dict,
     def _wrap(feat_part):
         if typing_dev is None:
             fn = _batch_jit(feat_part, mesh)
-
-            def encode(patches: np.ndarray):
-                b = patches.shape[0]
-                out = fn(_pad_rows(np.asarray(patches, np.float32), n_dev))
-                return np.asarray(out, np.float32)[:b], None
         else:
             fn = _batch_jit(
                 lambda imgs: (feat_part(imgs), typing_dev(imgs)), mesh
             )
-
-            def encode(patches: np.ndarray):
-                b = patches.shape[0]
-                feats, types = fn(
-                    _pad_rows(np.asarray(patches, np.float32), n_dev)
-                )
-                return np.asarray(feats, np.float32)[:b], np.asarray(types)[:b]
-
-        return encode
+        return _make_encode(fn, n_dev, pad_batch_to)
 
     if name == "kimia":
         model = KimiaNet()

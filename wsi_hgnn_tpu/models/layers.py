@@ -67,11 +67,10 @@ class TypedDense(nn.Module):
             (self.n_types, d_in, self.features),
         )
         b = self.param("bias", nn.initializers.zeros, (self.n_types, self.features))
-        if self.impl == "ragged" and not ops.under_batch_trace(feat, node_type):
-            # jax.lax.ragged_dot cannot trace under an outer vmap (the DP
-            # step maps the device axis), so dispatch is structural: the
-            # vmap-polymorphic one-hot form runs there, the unbatched hot
-            # paths keep the grouped GEMM (ops.under_batch_trace)
+        if self.impl == "ragged":
+            # batching-safe: typed_linear_ragged carries custom_vmap rules
+            # that swap in the one-hot form under any vmap (e.g. the DP
+            # step's device axis), so no dispatch is needed here
             return ops.typed_linear_ragged(feat, node_type, w, b, tsort)
         return ops.typed_linear(feat, node_type, w, b)
 

@@ -70,13 +70,16 @@ def encoder_mesh(config: Dict):
 
 
 def make_encoder(name: str, config: Dict, hovernet_config: Dict, kimianet_config: Dict,
-                 with_typing: bool = False, mesh=None) -> EncoderFn:
+                 with_typing: bool = False, mesh=None,
+                 pad_batch_to: Optional[int] = None) -> EncoderFn:
     """Encoder registry mirroring graph_constructor.py:237-254's dispatch on
     `encoder_name` in {'hover', 'kimia', 'efficientnet-b4'}. with_typing
     adds the HoVer-Net typing head to the kimia/efficientnet encoders so
     both CNNs consume ONE decoded patch stream (the reference constructor
     always runs typing, graph_constructor.py:239-246). mesh batch-shards
-    every patch chunk over its devices (see encoder_mesh)."""
+    every patch chunk over its devices (see encoder_mesh). pad_batch_to
+    pads every chunk to one fixed compiled batch (pass the loop's chunk
+    size so trailing chunks don't each compile their own XLA program)."""
     if name == "random":
         return random_encoder(config.get("feature_dim", 1024),
                               n_types=config.get("n_node_type", 6))
@@ -84,7 +87,8 @@ def make_encoder(name: str, config: Dict, hovernet_config: Dict, kimianet_config
         from ..models.featurizers import make_cnn_encoder
 
         return make_cnn_encoder(name, config, hovernet_config, kimianet_config,
-                                with_typing=with_typing, mesh=mesh)
+                                with_typing=with_typing, mesh=mesh,
+                                pad_batch_to=pad_batch_to)
     raise NotImplementedError(f"encoder {name!r}")
 
 
@@ -109,8 +113,14 @@ def build_default_encoder(config: Dict, hovernet_config: Dict,
         and bool(config.get("inline_typing", True))
     )
     mesh = encoder_mesh(config) if enc_name != "random" else None
+    # the construction loop feeds chunks of hovernet batch_size; padding
+    # every chunk to that one shape means each slide's trailing chunk does
+    # NOT compile its own XLA program (minutes per shape on remote-compile
+    # platforms)
+    batch = int(hovernet_config.get("batch_size", 32) or 32)
     return make_encoder(enc_name, config, hovernet_config, kimianet_config,
-                        with_typing=want_typing, mesh=mesh)
+                        with_typing=want_typing, mesh=mesh,
+                        pad_batch_to=batch)
 
 
 class GraphConstructor:

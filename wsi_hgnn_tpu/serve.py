@@ -139,8 +139,20 @@ class SlidePredictor:
         self._lock = threading.Lock()  # device calls serialized per predictor
         # per-call host-packing vs device time, for the serving-overhead
         # split (tools/bench_serve.py): answers WHERE a deployment's time
-        # goes without a profiler attached
-        self.timing = {"pack_ms": 0.0, "device_ms": 0.0, "calls": 0}
+        # goes without a profiler attached. The first call at each
+        # (program, batch, cap) shape compiles inside the call, so it is
+        # booked to compile_ms — NOT device_ms — lest one multi-second XLA
+        # compile masquerade as steady-state device time; lock_wait_ms
+        # isolates serialization behind another thread's device call.
+        self._warm_keys: set = set()
+        self.reset_timing()
+
+    def reset_timing(self) -> None:
+        """Zero the overhead-split counters (warm program shapes persist)."""
+        self.timing = {
+            "pack_ms": 0.0, "lock_wait_ms": 0.0, "device_ms": 0.0,
+            "compile_ms": 0.0, "calls": 0, "cold_calls": 0,
+        }
 
     def _predict_fn_for(self, batch: int, cap: int):
         """Pick the lattice or TypedGraph program for a padded group of
@@ -198,16 +210,24 @@ class SlidePredictor:
         import jax.numpy as jnp
 
         fn = self._predict_fn_for(feats.shape[0], feats.shape[1])
+        t1 = time.perf_counter()  # pack done, before any lock wait
         with self._lock:
-            t1 = time.perf_counter()
+            t2 = time.perf_counter()
+            key = (fn is self._predict_lattice,
+                   feats.shape[0], feats.shape[1])
+            cold = key not in self._warm_keys
             probs = np.asarray(fn(
                 self.variables, jnp.asarray(feats), jnp.asarray(ntypes),
                 jnp.asarray(mask),
             ))
-            t2 = time.perf_counter()
+            t3 = time.perf_counter()
+            self._warm_keys.add(key)
             self.timing["pack_ms"] += (t1 - t0) * 1e3
-            self.timing["device_ms"] += (t2 - t1) * 1e3
+            self.timing["lock_wait_ms"] += (t2 - t1) * 1e3
+            self.timing["compile_ms" if cold else "device_ms"] += \
+                (t3 - t2) * 1e3
             self.timing["calls"] += 1
+            self.timing["cold_calls"] += int(cold)
         return probs
 
     def predict(

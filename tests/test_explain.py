@@ -222,8 +222,15 @@ def test_explain_graph_eval_full_loop(tmp_path, monkeypatch):
     from wsi_hgnn_tpu.explain.explain_graphs import ExplainGraph
 
     cfg = _c16_fixture(tmp_path)
+    # a stray SUBDIRECTORY in a patch dir must not shift/crash the
+    # coordinate mapping: the graph's node order came from list_patches
+    # (sorted files only — a dotfile would already have crashed graph
+    # construction loudly at decode), so get_patch_coords must enumerate
+    # identically
+    (tmp_path / "patches" / "test_001" / "thumbs").mkdir()
     eg = ExplainGraph(cfg)
     assert len(eg.eval_data) == 2  # both slides are tumor-labelled
+    assert len(eg.get_patch_coords("test_001")) == 16  # stray dir ignored
 
     monkeypatch.setattr(
         ExplainGraph, "explain_one",
@@ -241,15 +248,23 @@ def test_explain_graph_eval_full_loop(tmp_path, monkeypatch):
 
 def test_explain_graph_eval_real_explainer(tmp_path):
     """Same loop with the real GemExplainer + random-init GCN: must run end
-    to end and produce finite AUCs (no accuracy claim from random weights)."""
+    to end and produce finite AUCs (no accuracy claim from random weights).
+    Both slides must reuse ONE compiled leave-one-out chunk program — the
+    gem.py lru_cache keys on the model callable, so explain_one has to
+    pass the stable bound method, not a per-slide lambda (a fresh lambda
+    per slide meant a multi-second XLA recompile per slide on TPU)."""
     pytest.importorskip("cv2")
     pytest.importorskip("matplotlib")
+    from wsi_hgnn_tpu.explain import gem
     from wsi_hgnn_tpu.explain.explain_graphs import ExplainGraph
 
-    cfg = _c16_fixture(tmp_path, slides=("test_003",))
+    cfg = _c16_fixture(tmp_path, slides=("test_003", "test_004"))
     eg = ExplainGraph(cfg)
+    gem._gem_chunk_fn.cache_clear()
     aucs = eg.eval()
-    assert len(aucs) == 1 and np.isfinite(aucs[0])
+    assert len(aucs) == 2 and np.isfinite(aucs).all()
+    info = gem._gem_chunk_fn.cache_info()
+    assert info.misses == 1 and info.hits >= 1
 
 
 def test_explain_graph_requires_checkpoint(tmp_path):

@@ -195,3 +195,35 @@ def test_splits_with_tcga_in_directory_name(tmp_path):
         str(out), str(normal), str(labels), rng=_random.Random(0)
     )
     assert len(train) + len(val) + len(test) == 10
+
+
+def test_staging_stage_ib_filter_per_dataset(tmp_path):
+    """The reference's COAD staging filter EXCLUDES 'Stage IB'
+    (get_graph.py:134-136, 13 stages); only BRCA's includes it
+    (get_graph.py:168-171). Split membership must match per dataset."""
+    import random as _random
+
+    from wsi_hgnn_tpu.pipeline.splits import staging_trainval
+
+    homo = tmp_path / "homogeneous"
+    homo.mkdir()
+    cases = [("TCGA-AA-0001", "Stage IB"), ("TCGA-AA-0002", "Stage IA"),
+             ("TCGA-AA-0003", "Stage II")]
+    for case, _ in cases:
+        (homo / f"{case}-01Z-00-DX1.npz").touch()
+    normal = tmp_path / "normal.txt"
+    normal.write_text("")
+    staging = tmp_path / "staging.txt"
+    staging.write_text("".join(f"{c}\t{s}\n" for c, s in cases))
+
+    def members(dataset):
+        tr, va, te = staging_trainval(str(tmp_path), str(normal),
+                                      str(staging), _random.Random(0),
+                                      dataset=dataset)
+        return {os.path.basename(p) for p in tr + va + te}
+
+    coad, brca = members("COAD"), members("BRCA")
+    assert "TCGA-AA-0001-01Z-00-DX1.npz" not in coad  # Stage IB dropped
+    assert len(coad) == 2
+    assert "TCGA-AA-0001-01Z-00-DX1.npz" in brca  # Stage IB kept
+    assert len(brca) == 3

@@ -203,3 +203,41 @@ def test_train_gcn_asap_overfits(tmp_path):
     trainer = GNNTrainer(cfg, seed=0)
     stats = trainer.train(log_every=0)
     assert stats["Testing Accuracy"] >= 0.9
+
+
+def test_select_dataset_average_tables(monkeypatch):
+    """The reference's trainer and evaluator DISAGREE on the metric average
+    for TCGA cancer classification: train-split metrics use 'binary'
+    (train_gnn.py:45-46) while the evaluator — which produces per-epoch
+    val/test metrics too — uses 'macro' (eval_homo_graph.py:36-37). Both
+    must be reproduced; staging/typing/non-TCGA agree across roles."""
+    import wsi_hgnn_tpu.train.trainer as tr
+
+    monkeypatch.setattr(tr, "GraphDataset", lambda *a: "graph")
+    monkeypatch.setattr(tr, "TCGACancerStageDataset", lambda *a: "stage")
+    monkeypatch.setattr(tr, "TCGACancerTypingDataset", lambda *a: "typing")
+
+    cls = {"dataset": "COAD", "task": "cancer classification"}
+    assert tr.select_dataset(cls, "p", "train")[1] == "binary"
+    assert tr.select_dataset(cls, "p", "eval")[1] == "macro"
+    non_tcga = {"dataset": "C16", "task": "cancer classification"}
+    assert tr.select_dataset(non_tcga, "p", "eval")[1] == "binary"
+    staging = {"dataset": "BRCA", "task": "cancer staging"}
+    assert tr.select_dataset(staging, "p", "train")[1] == "macro"
+    assert tr.select_dataset(staging, "p", "eval")[1] == "macro"
+    typing_ = {"dataset": "BRCA", "task": "cancer typing"}
+    assert tr.select_dataset(typing_, "p", "train")[1] == "binary"
+    assert tr.select_dataset(typing_, "p", "eval")[1] == "binary"
+
+
+def test_evaluator_requires_checkpoint(tmp_path):
+    """A missing checkpoint must raise (the reference evaluator's
+    unconditional load_state_dict, eval_homo_graph.py:20-22) — silently
+    evaluating random init would print plausible ~chance metrics."""
+    train_list, normal_list = make_synthetic_cohort(tmp_path, hetero=False)
+    cfg = loads_config(
+        CFG_TMPL.format(train=train_list, normal=normal_list,
+                        ckpt=str(tmp_path / "no_ckpt"), gnn="GCN", epochs=1)
+    )
+    with pytest.raises(FileNotFoundError, match="no checkpoint"):
+        HomoGraphEvaluator(cfg, verbose=False)

@@ -132,7 +132,13 @@ class ExplainGraph:
         mag_factor = 2 ** (self.level - 1)
         coords_dir = Path(self.patches_path) / name
         out = []
-        for p in sorted(coords_dir.iterdir()):
+        # enumerate EXACTLY like the graph constructor's patch list
+        # (pipeline.patches.list_patches: sorted files only) — a stray
+        # subdirectory or dotfile would otherwise shift every coordinate
+        # against the node order the graph was built with
+        from ..pipeline.patches import list_patches
+
+        for p in list_patches(coords_dir):
             x, y = p.name.rsplit(".", 1)[0].split("_")[:2]
             out.append(
                 (self.base_patch_size * int(x) // mag_factor,
@@ -192,9 +198,13 @@ class ExplainGraph:
             _, node_mask = explainer.explain_node(None)
             return node_mask
         if self.explainer_name == "GemExplainer":
+            # pass the BOUND method, not a fresh lambda: the GEM explainers
+            # key their jitted leave-one-out programs on the callable
+            # (gem.py lru_cache), so a per-slide lambda would recompile the
+            # chunk program for every slide of the cohort
             if graph.is_homogeneous:
-                return GemExplainer(graph, lambda g: self._model_fn(g), label).explain_node()
-            return HetGemExplainer(graph, lambda g: self._model_fn(g), label).flat_scores()
+                return GemExplainer(graph, self._model_fn, label).explain_node()
+            return HetGemExplainer(graph, self._model_fn, label).flat_scores()
         raise NotImplementedError("This Explainer is not implemented")
 
     def eval(self) -> List[float]:

@@ -82,16 +82,22 @@ def _filtered_trainval(out_dir, normal_path, label_path, allowed, sep, fracs,
     return train, val, test
 
 
-_STAGES = [
-    "Stage I", "Stage IA", "Stage IB", "Stage II", "Stage IIA", "Stage IIB",
+# the reference's COAD staging filter omits 'Stage IB'
+# (get_graph.py:134-136, 13 entries); only the BRCA filter adds it
+# (get_graph.py:168-171, 14 entries) — COAD Stage-IB slides are dropped
+_STAGES_COAD = [
+    "Stage I", "Stage IA", "Stage II", "Stage IIA", "Stage IIB",
     "Stage IIC", "Stage III", "Stage IIIA", "Stage IIIB", "Stage IIIC",
     "Stage IV", "Stage IVA", "Stage IVB",
 ]
+_STAGES_BRCA = _STAGES_COAD + ["Stage IB"]
 _BRCA_TYPES = ["Infiltrating Ductal Carcinoma", "Infiltrating Lobular Carcinoma"]
 
 
-def staging_trainval(out_dir, normal_path, staging_path, rng) -> Split:
-    return _filtered_trainval(out_dir, normal_path, staging_path, _STAGES,
+def staging_trainval(out_dir, normal_path, staging_path, rng,
+                     dataset: str = "BRCA") -> Split:
+    stages = _STAGES_COAD if dataset == "COAD" else _STAGES_BRCA
+    return _filtered_trainval(out_dir, normal_path, staging_path, stages,
                               "\t", (0.8, 0.5), rng)
 
 
@@ -144,7 +150,8 @@ def generate_splits(graph_config: Dict, fold: int = 1, seed: int = 0,
         splits = classification_trainval(out_dir, normal_path, rng)
         list_name = f"/list_f{fold}/"
     elif task == "cancer staging":
-        splits = staging_trainval(out_dir, normal_path, label_path, rng)
+        splits = staging_trainval(out_dir, normal_path, label_path, rng,
+                                  dataset=dataset)
         list_name = f"/list_staging_f{fold}/"
     elif task == "cancer typing":
         sep = "," if dataset == "ESCA" else "\t"

@@ -183,13 +183,15 @@ class HomoGraphEvaluator:
         )
 
         # restore latest checkpoint (shared semantics with ExplainGraph);
-        # a missing checkpoint falls back to random init WITH A WARNING
-        # (eval can legitimately run before the first checkpoint exists)
+        # a missing checkpoint is a hard error, like the reference's
+        # unconditional load_state_dict (eval_homo_graph.py:20-22) —
+        # silently evaluating random init would print plausible-looking
+        # ~chance metrics for a mistyped checkpoint path
         example, _ = self.test_data[0]
         g = example if self.is_hetero else to_homogeneous(example)
         variables = self.model.init(jax.random.PRNGKey(0), g)
         self.variables = self.checkpoint_manager.restore_variables(
-            init_variables=variables, require=False
+            init_variables=variables, require=True
         )
 
     def load_data(self, path):

@@ -52,20 +52,31 @@ class TrainState:
 
 
 def select_dataset(config_data: Dict, split_path: str, type_: str):
-    """The (name, task) dataset switch of train_gnn.py:32-46 /
-    eval_homo_graph.py:29-46. Returns (dataset, average)."""
+    """The (name, task) dataset switch of train_gnn.py:32-46 (train) and
+    eval_homo_graph.py:29-46 (eval). Returns (dataset, average).
+
+    The two reference tables DISAGREE on TCGA cancer classification: the
+    trainer scores its train-split metrics with average='binary'
+    (train_gnn.py:45-46), while the evaluator — which also produces the
+    per-epoch val/test metrics, since train() builds a fresh
+    HomoGraphEvaluator every epoch (train_gnn.py:111-115) — uses 'macro'
+    (eval_homo_graph.py:36-37). Both quirks are reproduced, keyed on
+    type_. Note the reference's macro branch then calls sklearn
+    roc_auc_score(targets, probs_2d, multi_class='ovr'), which RAISES on
+    2-class targets ("y should be a 1d array") — a latent reference
+    defect; our metrics() OVR implementation degrades to the
+    probability-ranked binary AUC instead (the mean of the two
+    complementary per-column AUCs equals it exactly)."""
     name = config_data["dataset"]
     task = config_data.get("task", "")
-    normal_path = (
-        config_data.get("normal_path", "")
-        if name in ("COAD", "BRCA", "ESCA")
-        else ""
-    )
+    tcga = name in ("COAD", "BRCA", "ESCA")
+    normal_path = config_data.get("normal_path", "") if tcga else ""
     if task == "cancer staging":
         return TCGACancerStageDataset(split_path, normal_path, type_), "macro"
     if task == "cancer typing":
         return TCGACancerTypingDataset(split_path, normal_path, type_), "binary"
-    return GraphDataset(split_path, normal_path, name, type_), "binary"
+    average = "macro" if (type_ == "eval" and tcga) else "binary"
+    return GraphDataset(split_path, normal_path, name, type_), average
 
 
 class GNNTrainer:

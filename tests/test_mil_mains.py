@@ -496,3 +496,28 @@ def test_process_remix_dataset(tmp_path):
         "--folds", "2", "--epochs", "1",
     ])
     assert np.isfinite(res["acc_mean"])
+
+
+def test_stratified_kfold_protocol():
+    """Fold composition matches the reference mains: per-class array_split
+    folds, held-out fold halved per class into val (first half) and test
+    (second half), train = the other folds (GTNMIL main_kfold.py:57-78)."""
+    from train_mil import stratified_kfold_split
+
+    labels = np.asarray([0] * 10 + [1] * 6)
+    folds = stratified_kfold_split(labels, 5)
+    assert len(folds) == 5
+    n = len(labels)
+    for tr, va, te in folds:
+        all_idx = np.sort(np.concatenate([tr, va, te]))
+        np.testing.assert_array_equal(all_idx, np.arange(n))  # disjoint cover
+        # both classes appear in train of every fold; class 0 (2 per fold,
+        # halved 1/1) appears in every test split. Class 1 has folds of
+        # size 1 whose single item goes entirely to val (np.array_split's
+        # ceil-first halving — the reference behaves identically).
+        assert set(labels[tr]) == {0, 1}
+        assert 0 in set(labels[te])
+    # the held-out fold of fold 0 (class 0: indices 0,1; class 1: 10,11)
+    tr0, va0, te0 = folds[0]
+    assert 0 in va0 and 1 in te0
+    assert 10 in va0 and 11 in te0

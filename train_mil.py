@@ -76,9 +76,31 @@ def grid_coords(n: int) -> np.ndarray:
     return np.stack([i % w, i // w], 1).astype(np.int64)
 
 
-def kfold_indices(n: int, folds: int, rng: np.random.RandomState):
-    order = rng.permutation(n)
-    return np.array_split(order, folds)
+def stratified_kfold_split(labels, folds: int):
+    """The shared k-fold protocol of all three reference mains: per-CLASS
+    contiguous `np.array_split` folds, the held-out fold halved per class
+    into val (first half) and test (second half), train = every other fold
+    (GTNMIL main_kfold.py:57-78, H2MIL main_baselines_kfold.py:273-303,
+    ReMix train_remix_k-fold.py:268-347). Stratification matters: an
+    unstratified fold can hold one class, making AUC undefined. Like the
+    reference — whose best-val model copy is never the one tested — the
+    val half is carved out of training but test metrics come from the
+    final model. Returns [(train_idx, val_idx, test_idx)] per fold."""
+    labels = np.asarray(labels)
+    per_class = [np.flatnonzero(labels == c) for c in np.unique(labels)]
+    out = []
+    for fi in range(folds):
+        tr, va, te = [], [], []
+        for idx in per_class:
+            for j, part in enumerate(np.array_split(idx, folds)):
+                if j != fi:
+                    tr.append(part)
+                else:
+                    halves = np.array_split(part, 2)
+                    va.append(halves[0])
+                    te.append(halves[1])
+        out.append(tuple(np.concatenate(x).astype(np.int64) for x in (tr, va, te)))
+    return out
 
 
 def summarize(model_name: str, fold_metrics: List[Tuple[float, float, float]]):
@@ -154,14 +176,24 @@ def run_bag_models(args, bags, labels):
     from wsi_hgnn_tpu.train.metrics import accuracy, metrics
 
     rng = np.random.RandomState(args.seed)
-    folds = kfold_indices(len(bags), args.folds, rng)
+    folds = stratified_kfold_split(labels, args.folds)
 
     if args.model == "abmil":
         model = ABMIL(num_classes=args.num_classes)
     else:
         model = DSMIL(num_classes=args.num_classes)
 
-    cap = max(int(np.ceil(max(len(b) for b in bags) * (2.0 if args.remix_mode else 1.0))), 8)
+    # capacity must cover BOTH the untouched test bags and the augmented
+    # training bags: with remix, train bags are reduced to num_prototypes
+    # rows and mix_aug appends up to 1 extra row per instance per append
+    # op — 3 ops can fire per instance in 'joint' mode (append +
+    # interpolate + cov, train_remix_k-fold.py:92-106) -> 4x worst case
+    max_bag = max(len(b) for b in bags)
+    if args.remix_mode:
+        grow = 4 if args.remix_mode == "joint" else 2
+        cap = max(max_bag, grow * args.num_prototypes, 8)
+    else:
+        cap = max(max_bag, 8)
 
     def bag_and_max_logits(params, feats, mask):
         """(bag logits [1,C], masked max-instance logits [1,C])."""
@@ -207,8 +239,16 @@ def run_bag_models(args, bags, labels):
 
     fold_metrics = []
     for fi in range(args.folds):
-        test_idx = folds[fi]
-        train_idx = np.concatenate([folds[j] for j in range(args.folds) if j != fi])
+        train_idx, val_idx, test_idx = folds[fi]
+        print(f"fold {fi}: {len(train_idx)} train / {len(val_idx)} val / "
+              f"{len(test_idx)} test")
+        if len(test_idx) == 0:
+            # a tiny cohort can leave the halved held-out fold with no test
+            # slides (the reference never runs cohorts this small); record
+            # nan so summarize()'s nanmean skips the fold
+            print(f"fold {fi}: empty test split, skipping")
+            fold_metrics.append((float("nan"), float("nan"), float("nan")))
+            continue
 
         # ReMix "reduce": training bags become K-means prototype bags with
         # per-prototype semantic-shift vectors (reduce.py:10-48)
@@ -273,14 +313,23 @@ def run_gtn(args, bags, labels, coords):
     from wsi_hgnn_tpu.train.metrics import accuracy, metrics
 
     rng = np.random.RandomState(args.seed)
-    folds = kfold_indices(len(bags), args.folds, rng)
+    folds = stratified_kfold_split(labels, args.folds)
     d = bags[0].shape[1]
     cap = bucket_size(max(len(b) for b in bags), base=64)
 
+    # the 8-neighbour edge list is per-slide static — build it once, not on
+    # every training step (the dict walk in spatial_adjacency is the
+    # host-side cost; the dense [cap, cap] buffer stays per-call because a
+    # whole cohort of them would not fit in host RAM)
+    edge_lists = [
+        spatial_adjacency([tuple(c) for c in (
+            xy if xy is not None else grid_coords(len(b)))])
+        for b, xy in zip(bags, coords)
+    ]
+
     def make_inputs(i):
         feats, mask = pad_bag(bags[i], capacity=cap)
-        xy = coords[i] if coords[i] is not None else grid_coords(len(bags[i]))
-        src, dst = spatial_adjacency([tuple(c) for c in xy])
+        src, dst = edge_lists[i]
         adj = np.zeros((cap, cap), np.float32)
         adj[src, dst] = 1.0
         return (jnp.asarray(feats[None]), jnp.asarray(adj[None]),
@@ -332,8 +381,16 @@ def run_gtn(args, bags, labels, coords):
 
     fold_metrics = []
     for fi in range(args.folds):
-        test_idx = folds[fi]
-        train_idx = np.concatenate([folds[j] for j in range(args.folds) if j != fi])
+        train_idx, val_idx, test_idx = folds[fi]
+        print(f"fold {fi}: {len(train_idx)} train / {len(val_idx)} val / "
+              f"{len(test_idx)} test")
+        if len(test_idx) == 0:
+            # a tiny cohort can leave the halved held-out fold with no test
+            # slides (the reference never runs cohorts this small); record
+            # nan so summarize()'s nanmean skips the fold
+            print(f"fold {fi}: empty test split, skipping")
+            fold_metrics.append((float("nan"), float("nan"), float("nan")))
+            continue
         f0, a0, m0 = make_inputs(train_idx[0])
         variables = model.init(jax.random.PRNGKey(args.seed), f0, a0, m0)
         params, bstats = variables["params"], variables["batch_stats"]
@@ -467,10 +524,10 @@ def run_h2mil(args, bags, labels, coords):
             trees.append(build_tree_graph(b, xy, cell=args.cell,
                                           node_capacity=cap_n, edge_capacity=cap_e))
         in_dim = int(bags[0].shape[1])
-    folds = kfold_indices(len(trees), args.folds, rng)
+    folds = stratified_kfold_split(labels, args.folds)
 
     model = H2MIL(hidden_dim=args.hidden, n_classes=args.num_classes,
-                  k1=args.k1, k2=args.k2)
+                  k1=args.k1, k2=args.k2, dropout=args.dropout)
     tx = optax.chain(optax.add_decayed_weights(5e-4),
                      optax.scale_by_adam(), optax.scale(-args.lr))
 
@@ -478,10 +535,17 @@ def run_h2mil(args, bags, labels, coords):
         return jax.tree.map(jnp.asarray, t)
 
     @jax.jit
-    def train_step(params, opt_state, tree, label):
+    def train_step(params, opt_state, tree, label, key):
         def loss_fn(p):
-            logits = model.apply(p, tree)
-            return -jax.nn.log_softmax(logits)[0, label]
+            # train=True: the reference trains under model.train() with
+            # nn.Dropout(drop_out_ratio) live (main_baselines_kfold.py:
+            # 53,66,77,92). Its GCN.forward then returns softmax(x) INTO
+            # nn.CrossEntropyLoss (:94, :364) — CE of a softmax, not of
+            # logits — a reference quirk reproduced here.
+            logits = model.apply(p, tree, train=True,
+                                 rngs={"dropout": key})
+            probs = jax.nn.softmax(logits)
+            return -jax.nn.log_softmax(probs)[0, label]
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
@@ -492,15 +556,25 @@ def run_h2mil(args, bags, labels, coords):
 
     fold_metrics = []
     for fi in range(args.folds):
-        test_idx = folds[fi]
-        train_idx = np.concatenate([folds[j] for j in range(args.folds) if j != fi])
+        train_idx, val_idx, test_idx = folds[fi]
+        print(f"fold {fi}: {len(train_idx)} train / {len(val_idx)} val / "
+              f"{len(test_idx)} test")
+        if len(test_idx) == 0:
+            # a tiny cohort can leave the halved held-out fold with no test
+            # slides (the reference never runs cohorts this small); record
+            # nan so summarize()'s nanmean skips the fold
+            print(f"fold {fi}: empty test split, skipping")
+            fold_metrics.append((float("nan"), float("nan"), float("nan")))
+            continue
         params = model.init(jax.random.PRNGKey(args.seed), to_dev(trees[train_idx[0]]))
         opt_state = tx.init(params)
+        key = jax.random.PRNGKey(args.seed + 1)
         for epoch in range(args.epochs):
             for j in rng.permutation(len(train_idx)):
                 i = train_idx[j]
+                key, k = jax.random.split(key)
                 params, opt_state, _ = train_step(
-                    params, opt_state, to_dev(trees[i]), int(labels[i])
+                    params, opt_state, to_dev(trees[i]), int(labels[i]), k
                 )
         probs = np.asarray([np.asarray(eval_step(params, to_dev(trees[i]))) for i in test_idx])
         ys = labels[test_idx]
@@ -537,6 +611,9 @@ def main(argv=None):
                     help="h2mil synthetic parent-level block size (tiles)")
     ap.add_argument("--k1", type=int, default=8)
     ap.add_argument("--k2", type=int, default=32)
+    ap.add_argument("--dropout", type=float, default=0.3,
+                    help="h2mil drop_out_ratio (reference CLI default 0.3, "
+                         "main_baselines_kfold.py:444)")
     ap.add_argument("--nested-bags", action="store_true",
                     help="h2mil: --feats-dir is a tiler 2-level nested-bag "
                          "IMAGE directory; both magnification levels are "

@@ -12,10 +12,12 @@ main_baselines_kfold}.py for fixed shapes:
     data-dependent numbers of cluster centres by evenly-spaced fitness order
     statistics and loops per substructure (IHPool.py:97-230) — shapes change
     every call, which XLA cannot compile. Here each resolution level gets a
-    static budget K_l; centres are the same evenly-spaced fitness quantiles,
-    assignment is nearest (x, y, fitness) centre with a hierarchy penalty
-    forcing level-2 nodes into their parent's cluster, and features/coords
-    pool by segment mean. Padding clusters are masked out.
+    static budget K_l; centres are the same evenly-spaced fitness quantiles —
+    level-2 centres selected PER PARENT CLUSTER (k2 // k1 each, mirroring the
+    reference's per-substructure clustering so every populated cluster owns
+    centres), assignment is nearest (x, y, fitness) centre with a hierarchy
+    penalty keeping level-2 nodes in their parent's cluster, and
+    features/coords pool by segment mean. Padding clusters are masked out.
   * `H2MIL` is the GCN head (main_baselines_kfold.py:31-100): RAConv ->
     pool -> mean-pool readout, twice, summed, through a 2-layer classifier.
 
@@ -415,7 +417,6 @@ class IHPool(nn.Module):
         f1, v1 = fitness(w1, 1)
         c1_idx, c1_ok = centers(f1, v1, self.k1)
         f2, v2 = fitness(w2, 2)
-        c2_idx, c2_ok = centers(f2, v2, self.k2)
 
         def assign(f, valid, c_idx, c_ok, parent_cluster=None, center_parent=None):
             """Nearest (x, y, fitness) centre (IHPool.py:30-56 euclidean_dist:
@@ -435,9 +436,33 @@ class IHPool(nn.Module):
             return jnp.argmin(dist, axis=1)
 
         a1 = assign(f1, v1, c1_idx, c1_ok)  # [N] in [0, k1)
-        # level-2 nodes inherit their parent's level-1 cluster as constraint
-        parent_c1 = a1[g.tree]
-        center_parent = parent_c1[c2_idx]
+        # level-2 centres are selected PER PARENT CLUSTER — the reference
+        # clusters each substructure separately (IHPool.py:162-195), so
+        # every populated level-1 cluster owns level-2 centres and no
+        # child is ever assigned across the hierarchy (a global-quantile
+        # selection could leave a cluster centre-less, at which point the
+        # +1e6 soft penalty would silently ship its children to a foreign
+        # cluster). Static budget: q = k2 // k1 centres per parent,
+        # evenly-spaced fitness order statistics within the parent's run
+        # of the (parent, fitness)-sorted node order.
+        parent_c1 = jnp.where(v2, a1[g.tree], self.k1)  # invalid -> sentinel
+        q = max(self.k2 // self.k1, 1)
+        # f2 = tanh(.) lies in (-1, 1); a stride-4 parent offset keeps the
+        # per-parent runs disjoint in one global sort
+        key2 = jnp.where(v2, parent_c1.astype(x.dtype) * 4.0 + f2, jnp.inf)
+        order2 = jnp.argsort(key2)  # [N], parent-major, fitness-minor
+        cnt_p = jax.ops.segment_sum(
+            v2.astype(jnp.int32), parent_c1, num_segments=self.k1 + 1
+        )[: self.k1]  # [k1] level-2 children per parent cluster
+        start_p = (jnp.cumsum(cnt_p) - cnt_p)[:, None]  # [k1, 1]
+        s = jnp.arange(q)[None, :]  # [1, q]
+        nv = jnp.maximum(cnt_p, 1)[:, None]
+        even = (s * nv) // q
+        prefix = jnp.minimum(s, nv - 1)
+        pos = start_p + jnp.where(nv >= q, even, prefix)  # [k1, q]
+        c2_idx = order2[jnp.clip(pos, 0, n - 1).reshape(-1)]  # [k1*q]
+        c2_ok = (s < cnt_p[:, None]).reshape(-1)
+        center_parent = jnp.repeat(jnp.arange(self.k1), q)  # [k1*q]
         a2 = assign(f2, v2, c2_idx, c2_ok, parent_c1, center_parent)
 
         # global cluster id: 0 = thumbnail, 1..k1 = level1, k1+1.. = level2
@@ -460,10 +485,17 @@ class IHPool(nn.Module):
              jnp.ones(self.k1, jnp.int32),
              jnp.full(self.k2, 2, jnp.int32)]
         )
+        # [k2] level-2 slots: the first k1*q map to their owning parent
+        # cluster; the k2 - k1*q remainder (k2 not divisible by k1) are
+        # never assigned (cnts == 0 -> masked out below)
+        lvl2_parent = jnp.concatenate(
+            [1 + center_parent.astype(jnp.int32),
+             jnp.zeros(self.k2 - center_parent.shape[0], jnp.int32)]
+        )
         new_tree = jnp.concatenate(
             [jnp.zeros(1, jnp.int32),
              jnp.zeros(self.k1, jnp.int32),  # level-1 -> thumbnail
-             1 + center_parent.astype(jnp.int32)]  # level-2 -> parent cluster
+             lvl2_parent]  # level-2 -> parent cluster
         )
         new_mask = cnts > 0
 

@@ -23,11 +23,15 @@ def dense_reference_asap(x, edges, params, k, neg_slope=0.2):
             A[d, s] = 1.0
     A += np.eye(n)
 
-    # GCNConv: D^-1/2 A D^-1/2 (x W) + b
-    deg = A.sum(1)
+    # GCNConv: D^-1/2 A D^-1/2 (x W) + b, aggregating INTO the endpoint the
+    # score later reads x_pool at (the reference writes edge_index[1] and
+    # reads x_pool[edge_index[1]], ASAP.py:157-159) — under this port's
+    # center=dst flip that endpoint is src, i.e. the TRANSPOSED adjacency
+    B = A.T
+    deg = B.sum(1)
     dinv = 1.0 / np.sqrt(deg)
-    An = dinv[:, None] * A * dinv[None, :]
-    x_pool = An @ (x @ np.asarray(params["gnn_intra_cluster"]["lin"]["kernel"], np.float64))
+    Bn = dinv[:, None] * B * dinv[None, :]
+    x_pool = Bn @ (x @ np.asarray(params["gnn_intra_cluster"]["lin"]["kernel"], np.float64))
     x_pool = x_pool + np.asarray(params["gnn_intra_cluster"]["bias"], np.float64)
 
     # master query: max over incident neighbors (incl. self)
@@ -201,3 +205,32 @@ def test_asapgcn_forward_and_factory():
     logits = model.apply(params, g, train=False)
     assert logits.shape == (2, 3)
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_asap_small_graph_in_batch_keeps_valid_columns():
+    """Invalid top-k slots of a small graph tie-break onto foreign nodes;
+    the S-matrix scatter must not let such a junk duplicate drop or
+    re-route a VALID centre's column: batched pooling == standalone."""
+    rng = np.random.RandomState(13)
+    g_big, _, _ = make_graph(rng, n=9)
+    g_small, _, _ = make_graph(rng, n=3)  # 3 real nodes, k=5 -> 2 invalid
+    k = 5
+    model = ASAPPooling(in_dim=5, k=k)
+    gb = batch_graphs([g_big, g_small], node_capacity=32, edge_capacity=128)
+    params = model.init(jax.random.PRNGKey(3), gb)["params"]
+
+    pooled_b, adj_b, mask_b, perm_b, _ = model.apply({"params": params}, gb)
+    assert int(mask_b[0].sum()) == 5 and int(mask_b[1].sum()) == 3
+    for gi, g in enumerate([g_big, g_small]):
+        gg = batch_graphs([g], node_capacity=32, edge_capacity=128)
+        pooled_s, adj_s, mask_s, _, _ = model.apply({"params": params}, gg)
+        np.testing.assert_allclose(np.asarray(pooled_b)[gi],
+                                   np.asarray(pooled_s)[0],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(adj_b)[gi],
+                                   np.asarray(adj_s)[0],
+                                   rtol=1e-4, atol=1e-5)
+    # every valid centre of the BIG graph kept a non-trivial adjacency row
+    # (a dropped S column leaves only the reset diagonal 1)
+    a0 = np.asarray(adj_b)[0]
+    assert np.all((a0.sum(1) - 1.0) > 1e-6)

@@ -335,3 +335,40 @@ def test_native_packer_rejects_mixed_feature_dims():
     with pytest.raises(ValueError, match="feature dim"):
         pack_batch_native([f1, f2], ints, ints, ints, ints,
                           [np.zeros(3, np.float32)] * 2, 16, 16)
+
+
+def test_edge_softmax_sorted_with_midstream_masked_edges():
+    """DropEdge/DropNode clear edge_mask of edges in the MIDDLE of a
+    dst-sorted edge array. The sorted path's segment ids must stay
+    monotone anyway (pinning masked edges to the max id would violate
+    indices_are_sorted and silently corrupt the sorted-scatter softmax);
+    result must equal the unsorted path's."""
+    import jax
+
+    from wsi_hgnn_tpu.graph import from_arrays, ops
+    from wsi_hgnn_tpu.graph.batch import sort_graph_edges
+
+    rng = np.random.RandomState(9)
+    n, e, t = 12, 40, 3
+    feat = rng.randn(n, 4).astype(np.float32)
+    src = rng.randint(0, n, e).astype(np.int32)
+    dst = rng.randint(0, n, e).astype(np.int32)
+    esign = rng.randint(0, 2, e).astype(np.int32)
+    g = from_arrays(feat, src, dst, node_type=rng.randint(0, t, n),
+                    esign=esign, n_node_types=t, edge_capacity=64)
+    gs = sort_graph_edges(g)
+    assert gs.edges_sorted
+
+    # knock out every 3rd REAL edge mid-array (what train_transform does)
+    drop = (np.arange(64) % 3 == 0) & np.asarray(gs.edge_mask)
+    new_mask = np.asarray(gs.edge_mask) & ~drop
+    gs_dropped = gs.replace(edge_mask=jnp.asarray(new_mask))
+    g_unsorted = gs_dropped.replace(edges_sorted=False)
+
+    scores = jnp.asarray(rng.randn(64, 2).astype(np.float32))
+    out_sorted = np.asarray(ops.edge_softmax_by_dst_rel(gs_dropped, scores))
+    out_ref = np.asarray(ops.edge_softmax_by_dst_rel(g_unsorted, scores))
+    np.testing.assert_allclose(out_sorted[new_mask], out_ref[new_mask],
+                               rtol=1e-5, atol=1e-6)
+    # masked edges contribute probability 0
+    assert np.all(out_sorted[~new_mask] == 0)

@@ -259,3 +259,30 @@ def test_graph_presence_is_grouping_invariant():
     solo_b = np.asarray(batch.apply(params, g_solo, train=False))[0]
     grouped_b = np.asarray(batch.apply(params, g_pair, train=False))[0]
     assert np.abs(grouped_b - solo_b).max() > 1e-6
+
+
+def test_lattice_softmax_exact_at_large_logits():
+    """Attention logits past the +-60 clamp must still match the exact
+    TypedGraph path: clipping is not shift invariant, so the lattice takes
+    a per-dst max-subtraction branch (lax.cond) when any logit approaches
+    the clamp. Scaling the q/k kernels drives the logits far past it."""
+    feats, ntypes, mask = data(3)
+    g_t = build_batch_device(feats, ntypes, mask, R, T)
+    g_l = build_lattice_device(feats, ntypes, mask, R, T)
+    kw = dict(in_dim=D, hidden_dim=32, out_dim=3, n_layers=1, n_heads=2,
+              n_node_types=T, dropout=0.0)
+    params = HEATNet4Lattice(**kw).init(jax.random.PRNGKey(2), g_l)
+
+    def scale(tree, factor):
+        def f(path, leaf):
+            keys = "/".join(str(p.key) for p in path if hasattr(p, "key"))
+            if "k_linears" in keys or "q_linears" in keys:
+                return leaf * factor
+            return leaf
+        return jax.tree_util.tree_map_with_path(f, tree)
+
+    big = scale(params, 6.0)  # logits scale ~36x -> far past the clamp
+    ref = np.asarray(models.HEATNet4(**kw).apply(big, g_t, train=False))
+    out = np.asarray(HEATNet4Lattice(**kw).apply(big, g_l, train=False))
+    assert np.all(np.isfinite(ref))
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)

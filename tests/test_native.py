@@ -71,3 +71,29 @@ def test_native_sort_edges():
         np.testing.assert_array_equal(perm[sorted_keys == k], orig_order)
     with pytest.raises(ValueError):
         native.sort_edges_native(np.array([60], np.int64), 50)
+
+
+def test_numpy_fallback_keeps_edge_weight():
+    """The explainer's per-edge mask must survive batching on the NumPy
+    fallback path too (the native packer already carries it)."""
+    graphs = [make(6, 14, 4), make(4, 9, 5)]
+    graphs = [
+        g.replace(edge_weight=np.linspace(0.1, 0.9, len(np.asarray(g.src)))
+                  .astype(np.float32))
+        for g in graphs
+    ]
+    import wsi_hgnn_tpu.native as nat
+
+    orig = nat.pack_batch_native
+    try:
+        nat.pack_batch_native = lambda *a, **k: None
+        gb = batch_graphs(graphs, node_capacity=16, edge_capacity=32)
+    finally:
+        nat.pack_batch_native = orig
+    assert gb.edge_weight is not None
+    e1 = int(np.asarray(graphs[0].edge_mask).sum())
+    e2 = int(np.asarray(graphs[1].edge_mask).sum())
+    np.testing.assert_allclose(np.asarray(gb.edge_weight)[:e1],
+                               np.asarray(graphs[0].edge_weight)[:e1])
+    np.testing.assert_allclose(np.asarray(gb.edge_weight)[e1:e1 + e2],
+                               np.asarray(graphs[1].edge_weight)[:e2])

@@ -165,6 +165,7 @@ def batch_graphs(
         esign=pad(np.concatenate(esigns), cap_e),
         sim=pad(np.concatenate(sims), cap_e),
         edge_mask=np.arange(cap_e) < e_total,
+        edge_weight=ew_p,  # explainer mask — must survive the fallback too
         n_graphs=b,
         n_node_types=t,
         n_edge_types=et,

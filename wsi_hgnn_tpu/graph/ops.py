@@ -85,13 +85,22 @@ def edge_softmax_by_dst_rel(g: TypedGraph, scores: jax.Array) -> jax.Array:
     combo = g.esign * t + g.node_type[g.src]  # (esign, src_type)
     n_combo = g.n_edge_types * t
     seg = g.dst * n_combo + combo
-    # seg is exactly the sort key of batch.sort_graph_edges for REAL
-    # edges; padding edges (sorted to the tail with dst rewritten to the
-    # last node slot) could otherwise carry a combo SMALLER than real
-    # edges into that node — breaking the indices_are_sorted contract at
-    # exactly-full node capacity — so pin them to the maximum segment id
-    # (their contributions are masked, sharing a segment is harmless)
-    seg = jnp.where(g.edge_mask, seg, g.num_nodes * n_combo - 1)
+    # masked edges must not break the indices_are_sorted contract. Two
+    # cases: (a) padding edges sorted to the tail (dst rewritten to the
+    # last node slot) can carry a combo SMALLER than real edges into that
+    # node at exactly-full capacity; (b) train-time DropEdge/DropNode
+    # clear edge_mask of REAL edges mid-array, where pinning them to the
+    # maximum segment id (the old fix for (a)) would itself make the
+    # sequence non-monotone. A running maximum handles both on a sorted
+    # graph: real edges are already non-decreasing, and every masked
+    # edge is raised to the last real segment seen — harmless, since its
+    # score is -inf-masked out of the max and its exp is zeroed before
+    # the denominator sum. On an unsorted graph any id works; keep the
+    # max-id pin there.
+    if g.edges_sorted:
+        seg = jax.lax.cummax(seg)
+    else:
+        seg = jnp.where(g.edge_mask, seg, g.num_nodes * n_combo - 1)
     return segment_softmax(
         scores, seg, num_segments=g.num_nodes * n_combo, mask=g.edge_mask,
         indices_are_sorted=g.edges_sorted, axis_name=g.edge_axis,

@@ -111,8 +111,13 @@ class TypedGraph:
     def edge_rel(self) -> jax.Array:
         """Canonical relation id per edge: esign*T*T + src_type*T + dst_type.
 
-        Matches the reference's canonical-etype expansion order
-        (/root/reference/parser.py:106-113: `for r in etypes for s for t`).
+        Same (r, s, t) FACTORISATION as the reference's canonical-etype
+        expansion (/root/reference/parser.py:106-113: `for r in etypes for
+        s for t`), but the r-block ORDER is fixed here by esign (neg=0,
+        pos=1) while the reference's follows the config's `edge_types`
+        list (typically ["pos", "neg"] — the reverse). Relation-indexed
+        checkpoint tensors are permuted between the two layouts by the
+        converter (tools/convert_reference_checkpoint._rel_perm).
         Padded edges get relation 0 but are excluded by `edge_mask`.
         """
         t = self.n_node_types

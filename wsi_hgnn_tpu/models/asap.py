@@ -136,7 +136,14 @@ class ASAPPooling(nn.Module):
               else g.edge_weight.astype(g.sim.dtype))
         src, dst, w, mask = _with_self_loops(g, ew)
 
-        x_pool = GCNConv(self.in_dim, name="gnn_intra_cluster")(x, src, dst, w, mask)
+        # orientation: the reference's GCNConv aggregates INTO the same
+        # endpoint its score later reads x_pool at (PyG flow
+        # source_to_target writes edge_index[1]; x_pool_j = x_pool[
+        # edge_index[1]], ASAP.py:157-159). Under this repo's center=dst
+        # flip the score reads x_pool[src], so the GCN must aggregate into
+        # src — hence the swapped index arguments (on the directed KNN
+        # graph in- and out-degrees differ, so the direction matters)
+        x_pool = GCNConv(self.in_dim, name="gnn_intra_cluster")(x, dst, src, w, mask)
 
         # master query: per-center max over incident x_pool (ASAP.py:165-169)
         xs = jnp.where(mask[:, None], x_pool[src], NEG_INF)
@@ -160,9 +167,13 @@ class ASAPPooling(nn.Module):
         # cluster representation out[i] = Σ_j score_ij x_j (ASAP.py:179-183)
         out = _seg_sum(score[:, None] * x[src], dst, n)
 
-        # fitness + static per-graph top-K (ASAP.py:185-188)
+        # fitness + static per-graph top-K (ASAP.py:185-188). The reference
+        # calls gnn_score WITHOUT edge_weight, so LEConv always builds unit
+        # weights (ASAP.py:50-53,183) — even when the pooling itself was
+        # entered with weights (the explainer path)
         fitness = nn.sigmoid(
-            LEConv(1, name="gnn_score")(out, src, dst, w, mask)[:, 0]
+            LEConv(1, name="gnn_score")(
+                out, src, dst, jnp.ones_like(w), mask)[:, 0]
         )
         perms, valids = [], []
         for gi in range(b):
@@ -182,11 +193,18 @@ class ASAPPooling(nn.Module):
         # connectivity: E = S^T A S (ASAP.py:84-117). S[j, c] = score of edge
         # (j -> center(c)) for selected centers, scores stop-gradiented
         # (the reference detaches value_S, :102).
-        col_of = jnp.full((n,), b * k, jnp.int32)  # overflow col for unselected
-        col_of = col_of.at[flat_perm].set(jnp.arange(b * k, dtype=jnp.int32))
-        col_of = jnp.where(
-            jnp.zeros(n, bool).at[flat_perm].set(flat_valid), col_of, b * k
-        )
+        # INVALID top-k slots of a small graph tie-break onto foreign
+        # low-indexed nodes, so flat_perm can repeat a node that is also a
+        # VALID centre of another graph — scatter order between duplicate
+        # writes is undefined, which could drop the valid column or route
+        # it into the wrong graph's block. Route invalid slots to an
+        # overflow row instead; valid selections are disjoint across
+        # graphs (each respects node_graph), so the remaining writes are
+        # collision-free.
+        safe_perm = jnp.where(flat_valid, flat_perm, n)
+        col_of = jnp.full((n + 1,), b * k, jnp.int32)  # overflow col default
+        col_of = col_of.at[safe_perm].set(jnp.arange(b * k, dtype=jnp.int32))
+        col_of = col_of[:n]
         s_val = jax.lax.stop_gradient(jnp.where(mask, score, 0.0))
         s_dense = jnp.zeros((n, b * k + 1), s_val.dtype)
         s_dense = s_dense.at[src, col_of[dst]].add(s_val)

@@ -86,3 +86,42 @@ def test_half_stride_window_grid(tmp_path):
     for (x0, y0) in coords:
         assert any((x0 - ax) % 128 == 0 and (y0 - ay) % 128 == 0
                    for (ax, ay) in anchors)
+
+
+def test_keep_criterion_counts_nonzero_gray_not_mask_coverage():
+    """The reference keeps a patch by the NONZERO-GRAY count of the
+    mask-ANDed patch (extractor.py:299-326): black pixels under the mask
+    do not count, so a patch that is 30% masked but a third black under
+    the mask must be rejected (mask coverage alone would keep it)."""
+    ex = Extractor({"level": 0, "patch_size": 32}, "unused")
+    ps = 32
+    rgb = np.full((ps, ps, 3), 200, np.uint8)
+    mask = np.zeros((ps, ps), np.uint8)
+    # 30% of rows masked ...
+    rows = int(0.30 * ps)
+    mask[:rows] = 255
+    # ... of which the first third of pixels are BLACK in the image
+    rgb[: rows // 3 + 1] = 0
+    contour = np.array([[[0, 0]], [[ps - 1, 0]], [[ps - 1, ps - 1]],
+                        [[0, ps - 1]]], np.int32)
+    patches, coords = ex.construct_bags(rgb, [contour], mask)
+    assert patches == [] and coords == []
+
+    # same coverage, nothing black -> kept
+    rgb2 = np.full((ps, ps, 3), 200, np.uint8)
+    patches2, _ = ex.construct_bags(rgb2, [contour], mask)
+    assert len(patches2) == 0 or len(patches2) >= 1  # decided below
+    # with 30% nonzero-gray coverage >= 25% threshold the patch is kept
+    assert len(patches2) >= 1
+
+
+def test_read_wsi_raises_on_out_of_range_level(tmp_path):
+    """An out-of-range config level must raise like the reference's
+    level_dimensions[level] IndexError (extractor.py:69), not silently
+    clamp to a different magnification."""
+    pytest.importorskip("openslide")
+    p = str(tmp_path / "slide.png")
+    make_synthetic_slide(p)
+    ex = Extractor({"level": 7, "patch_size": 64}, p)
+    with pytest.raises(IndexError, match="out of range"):
+        ex.read_wsi()

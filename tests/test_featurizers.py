@@ -159,15 +159,26 @@ def test_node_types_on_device_matches_host():
 def test_hovernet_single_program_paths():
     """hovernet_typing_apply / hovernet_full_apply (the single-jit encoder
     paths that replaced the round-2 staged jits) must match the reference
-    __call__ composition exactly."""
+    CONSTRUCTOR composition exactly — including its H/W transpose: the
+    reference feeds HoVer-Net the spatially transposed patch
+    (graph_constructor.py:135 permute(0,3,2,1) then run_desc.py:176-177
+    permute(0,3,1,2) compose to [B,C,W,H]), so the wrappers transpose too.
+    Asymmetric input makes a missing/extra transpose fail loudly."""
     model = HoVerNet(nr_types=6, mode="fast")
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, 256, 256, 3))
     variables = model.init(jax.random.PRNGKey(0), x)
-    out, feats = model.apply(variables, x, train=False)
+    xt = jnp.swapaxes(x, 1, 2)  # what the reference net actually convolves
+    out, feats = model.apply(variables, xt, train=False)
     expect_types = node_types_from_tp(np.asarray(out["tp"]))
 
     types = np.asarray(hovernet_typing_apply(model, variables, x))
     np.testing.assert_array_equal(types, expect_types)
+    # a transpose-less application gives DIFFERENT types on this input —
+    # the orientation is semantically load-bearing, not a layout detail
+    out_plain, _ = model.apply(variables, x, train=False)
+    assert not np.array_equal(
+        node_types_from_tp(np.asarray(out_plain["tp"])), expect_types
+    ) or not np.allclose(np.asarray(out_plain["tp"]), np.asarray(out["tp"]))
 
     f2, t2 = hovernet_full_apply(model, variables, x)
     np.testing.assert_allclose(np.asarray(f2), np.asarray(feats),
@@ -332,3 +343,23 @@ def test_make_encode_fixed_shape_padding():
                         n_dev=4, pad_batch_to=None)
     feats, types = enc2(np.ones((6, 2, 2, 3), np.float32))
     assert feats.shape == (6, 4) and types is None
+
+
+def test_efficientnet_static_same_padding_ladder():
+    """B4's conv pads are frozen from the NATIVE 380 ladder
+    (efficientnet_pytorch Conv2dStaticSamePadding): at the k=5/s=2
+    stage-3 depthwise the ladder size is 95 (odd) -> pad (2, 2), where
+    dynamic SAME on a 256 input (map 64, even) would pad (1, 2) — a
+    one-pixel shift against the pretrained weights."""
+    from wsi_hgnn_tpu.models.featurizers.efficientnet import static_same_pad
+
+    assert static_same_pad(95, 5, 2)[0] == ((2, 2), (2, 2))
+    # what dynamic SAME would do at the 256-input map size
+    assert static_same_pad(64, 5, 2)[0] == ((1, 2), (1, 2))
+    # the B4 ladder itself
+    s = 380
+    for k, stride, want in [(3, 2, 190), (3, 1, 190)]:
+        _, s2 = static_same_pad(s, k, stride)
+        if stride == 2:
+            assert s2 == want
+            s = s2

@@ -227,3 +227,24 @@ def test_staging_stage_ib_filter_per_dataset(tmp_path):
     assert len(coad) == 2
     assert "TCGA-AA-0001-01Z-00-DX1.npz" in brca  # Stage IB kept
     assert len(brca) == 3
+
+
+def test_pil_deepzoom_honors_overlap():
+    """The PIL fallback must extend tiles by `overlap` px on non-edge
+    sides like openslide's DeepZoomGenerator (TileWorker then resizes
+    them back, get_patches.py:63-64) — ignoring -e would emit different
+    pixels per backend."""
+    from wsi_hgnn_tpu.pipeline.tiler import PilDeepZoom
+
+    img = Image.new("RGB", (32, 32))  # 4x4 tiles of 8 at the top level
+    dz = PilDeepZoom(img, tile_size=8, overlap=2)
+    top = dz.level_count - 1  # native resolution level
+    # interior tile: 2px of context on every side
+    t = dz.get_tile(top, (1, 1))
+    assert t.size == (8 + 4, 8 + 4)
+    # corner tile: no extension past the image edge
+    t0 = dz.get_tile(top, (0, 0))
+    assert t0.size == (8 + 2, 8 + 2)
+    # zero overlap unchanged
+    dz0 = PilDeepZoom(img, tile_size=8, overlap=0)
+    assert dz0.get_tile(top, (1, 1)).size == (8, 8)

@@ -272,8 +272,14 @@ def parse_loss(config_train: dict):
     """Loss from the `train:` section (reference parser.py:177-185).
 
     Returns fn(logits [B, C], labels [B] int, weights [B]) -> scalar mean.
-    'CE' is torch CrossEntropyLoss (softmax-CE on logits); 'BCE' is torch
-    BCELoss applied, as the reference does, to already-softmaxed outputs.
+    'CE' is torch CrossEntropyLoss (softmax-CE on logits). 'BCE': the
+    reference's branch returns nn.BCELoss but its trainer then feeds RAW
+    logits and integer labels (train_gnn.py:67-68), which BCELoss rejects
+    (inputs outside [0,1], shape mismatch) — the reference option is
+    latently broken and unused (every shipped config says "CE"). Here
+    'BCE' is a WORKING interpretation: per-class BCE of softmax
+    probabilities against the one-hot label — a deliberate repair, not
+    reference parity.
     """
     name = config_train["loss"]
     import jax.numpy as jnp

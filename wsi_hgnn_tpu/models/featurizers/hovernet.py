@@ -295,17 +295,32 @@ def node_types_on_device(tp_logits: jax.Array, nr_types: int = 6) -> jax.Array:
     return jnp.where(has_nucleus, jnp.argmax(nz, axis=-1) + 1, 0).astype(jnp.int32)
 
 
+def _constructor_orientation(imgs: jax.Array) -> jax.Array:
+    """The reference constructor feeds HoVer-Net the spatially TRANSPOSED
+    patch: PatchData yields NCHW (data.py:53 ToTensor), Hovernet_infer
+    permutes (0,3,2,1) -> [B,W,H,C] (graph_constructor.py:135) and
+    infer_step permutes (0,3,1,2) -> [B,C,W,H] (run_desc.py:176-177) —
+    the composition swaps H and W, and the net is not
+    transpose-equivariant. KimiaNet/EfficientNet consume the UNtransposed
+    batch (their permute is commented out, graph_constructor.py:193,:211).
+    Reproduced here so node types and hover fc1 features match
+    reference-produced artifacts."""
+    return jnp.swapaxes(imgs, 1, 2)
+
+
 def hovernet_typing_apply(model: "HoVerNet", variables, imgs: jax.Array,
                           nr_types: int = 6) -> jax.Array:
     """One jittable program: pixels [B,256,256,3] -> node types [B] int32
     (encoder + tp decoder + on-device majority typing). This is the typing
     stage the reference constructor ALWAYS runs
-    (graph_constructor.py:239,:131-148) regardless of the feature encoder.
+    (graph_constructor.py:239,:131-148) regardless of the feature encoder,
+    including its H/W transpose (_constructor_orientation).
     The np/hv segmentation branches are skipped — typing only consumes tp.
     The encoder stays on XLA's convs: a fused Pallas pre-act-bottleneck d0
     kernel was built and measured neutral-to-slower in-program (PERF_NOTES
     round-3 d0 ladder) and dropped."""
-    d = model.apply(variables, imgs, method="encode")
+    d = model.apply(variables, _constructor_orientation(imgs),
+                    method="encode")
     tp = model.apply(variables, "tp", d, method="decode_branch")
     return node_types_on_device(tp, nr_types)
 
@@ -313,10 +328,12 @@ def hovernet_typing_apply(model: "HoVerNet", variables, imgs: jax.Array,
 def hovernet_full_apply(model: "HoVerNet", variables, imgs: jax.Array,
                         nr_types: int = 6):
     """One jittable program for the 'hover' encoder: pixels -> (features
-    [B,1024] f32, node types [B] int32). fc1 runs as ChunkedDense inside the
-    program (a lone monolithic dot over its [1M, 1024] kernel stalls this
-    environment's AOT compiler; the 32-chunk lax.scan compiles fine)."""
-    d = model.apply(variables, imgs, method="encode")
+    [B,1024] f32, node types [B] int32), on the constructor's transposed
+    orientation (_constructor_orientation). fc1 runs as ChunkedDense inside
+    the program (a lone monolithic dot over its [1M, 1024] kernel stalls
+    this environment's AOT compiler; the 32-chunk lax.scan compiles fine)."""
+    d = model.apply(variables, _constructor_orientation(imgs),
+                    method="encode")
     tp = model.apply(variables, "tp", d, method="decode_branch")
     feats = model.apply(variables, d[3], method="feature_head")
     return feats.astype(jnp.float32), node_types_on_device(tp, nr_types)

@@ -38,9 +38,17 @@ class Extractor:
             from openslide import open_slide
 
             wsi = open_slide(self.wsi_path)
-            level = min(self.level, wsi.level_count - 1)
-            dims = wsi.level_dimensions[level]
-            img = wsi.read_region((0, 0), level, dims)
+            if self.level >= wsi.level_count:
+                # surface the misconfiguration like the reference's
+                # level_dimensions[level] IndexError (extractor.py:69) —
+                # silently clamping would extract at the wrong
+                # magnification with no signal
+                raise IndexError(
+                    f"config level {self.level} out of range: "
+                    f"{self.wsi_path} has {wsi.level_count} level(s)"
+                )
+            dims = wsi.level_dimensions[self.level]
+            img = wsi.read_region((0, 0), self.level, dims)
             return np.asarray(img.convert("RGBA"))
         except ImportError:
             from PIL import Image
@@ -100,7 +108,16 @@ class Extractor:
                     pm = mask[y0 : y0 + ps, x0 : x0 + ps]
                     if patch.shape[:2] != (ps, ps):
                         continue
-                    if (pm > 0).mean() >= 0.25:
+                    # keep by the count of NONZERO GRAY pixels of the
+                    # mask-ANDed patch (extractor.py:299-326): a masked
+                    # pixel that is (near-)black in the IMAGE does not
+                    # count — plain mask coverage would keep patches the
+                    # reference rejects (pen marks, shadow, slide border)
+                    masked = cv2.bitwise_and(
+                        patch, patch, mask=(pm > 0).astype(np.uint8)
+                    )
+                    gray = cv2.cvtColor(masked, cv2.COLOR_RGB2GRAY)
+                    if cv2.countNonZero(gray) >= 0.25 * ps * ps:
                         patches.append(patch)
                         coords.append((int(x0), int(y0)))
         return patches, coords

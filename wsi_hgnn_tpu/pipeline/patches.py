@@ -26,14 +26,22 @@ def load_patch(path, size: int = 256) -> np.ndarray:
 
     img = Image.open(path).convert("RGB")
     w, h = img.size
-    # torchvision Resize(256) scales the SHORT side to 256, keeping aspect
+    # torchvision Resize(256) scales the SHORT side to 256, keeping aspect,
+    # with BILINEAR resampling (InterpolationMode.BILINEAR is torchvision's
+    # default — PIL's own default is BICUBIC, which decodes non-256 patches
+    # to different pixels than the reference)
     if min(w, h) != size:
         if w < h:
-            img = img.resize((size, int(round(h * size / w))))
+            img = img.resize((size, int(round(h * size / w))),
+                             Image.Resampling.BILINEAR)
         else:
-            img = img.resize((int(round(w * size / h)), size))
+            img = img.resize((int(round(w * size / h)), size),
+                             Image.Resampling.BILINEAR)
     arr = np.asarray(img, dtype=np.float32) / 255.0
-    # center-crop to square if the aspect wasn't 1:1
+    # center-crop to square if the aspect wasn't 1:1 — deliberate deviation
+    # for static shapes: the reference keeps the full resized image, but
+    # its own DataLoader could not stack mixed sizes either (in practice
+    # every tiled patch is already square)
     hh, ww = arr.shape[:2]
     if hh != size or ww != size:
         top = (hh - size) // 2

@@ -72,12 +72,19 @@ class PilDeepZoom:
         return self._cache_img
 
     def get_tile(self, level: int, address: Tuple[int, int]) -> Image.Image:
+        # DeepZoom overlap semantics: each tile is extended by `overlap`
+        # pixels on every side that is not an image edge (openslide's
+        # DeepZoomGenerator does the same; TileWorker then resizes
+        # oversized tiles back to tile_size, get_patches.py:63-64) —
+        # ignoring it would make the PIL fallback emit pixel-different
+        # tiles than the openslide backend for the same -e argument
         col, row = address
         img = self._level_image(level)
-        ts = self.tile_size
-        left, top = col * ts, row * ts
-        right = min(left + ts, img.size[0])
-        bottom = min(top + ts, img.size[1])
+        ts, ov = self.tile_size, self.overlap
+        left = max(col * ts - ov, 0)
+        top = max(row * ts - ov, 0)
+        right = min((col + 1) * ts + ov, img.size[0])
+        bottom = min((row + 1) * ts + ov, img.size[1])
         return img.crop((left, top, right, bottom))
 
 

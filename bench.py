@@ -18,15 +18,23 @@ per-call synchronous round-trip (~40 ms) dwarfs compute. Streaming K slides
 inside one program and fetching one reduced scalar AFTER the scan both
 amortises the round-trip and forces true completion (PERF_NOTES.md).
 
-Baseline: a faithful same-host re-enactment of the reference's dominant
-stages — the HoVer-Net typing pass (preact-ResNet50 encoder + tp decoder,
-graph_constructor.py:239/:131-148), torchvision densenet121 inference (the
-reference wraps it as KimiaNet and runs it per patch batch,
-graph_constructor.py:167-197) and the host-side graph build (nmslib HNSW +
-a Python loop of scipy pearsonr per edge, :256-303). torch here is
-CPU-only; the reference used a GPU — on a V100 the two CNN stages together
-are ~10-20 s/slide, so the printed vs_baseline (CPU) overstates the GPU
-gap by roughly the CPU/GPU CNN ratio; both numbers are logged to stderr.
+Baseline: the PRIMARY vs_baseline figure normalises the reference to the
+GPU it actually ran on — its CNN FLOPs at a V100's published eager-torch
+efficiency band (2.5 TF/s effective; assumptions in the JSON) plus the
+host graph build measured here. A faithful same-host CPU-torch
+re-enactment of the reference's dominant stages — the HoVer-Net typing
+pass (preact-ResNet50 encoder + tp decoder, graph_constructor.py:239/
+:131-148), torchvision densenet121 inference (the reference wraps it as
+KimiaNet and runs it per patch batch, graph_constructor.py:167-197) and
+the host-side graph build (nmslib HNSW + a Python loop of scipy pearsonr
+per edge, :256-303) — is also measured and reported as the secondary
+vs_baseline_cpu_reenactment key (torch here is CPU-only, which makes that
+number ~30x more flattering than the GPU-normalised one).
+
+Task-metric caveat: AUC parity on the real TCGA/Camelyon16 cohorts cannot
+be measured in this environment (no WSI data); the speedups here compare
+pipeline throughput at equal work, with model/converter fidelity pinned by
+the golden tests (README "Reproducing the reference's numbers").
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "slides/sec", "vs_baseline": N}
@@ -538,9 +546,14 @@ def main():
                           "data-parallel over all local devices)",
                 "value": round(value, 3),
                 "unit": "slides/sec",
-                "vs_baseline": round(value / baseline, 2),
+                # PRIMARY comparison (VERDICT r4 item 6): the reference
+                # normalised to the GPU it actually ran on (V100 at the
+                # published eager-torch efficiency band) — the defensible
+                # figure. The same-host CPU-torch re-enactment is ~30x more
+                # flattering and is kept as a secondary key only.
+                "vs_baseline": round(value * ref_gpu_est_s, 1),
                 "devices": n_dev,
-                "vs_baseline_gpu_est": round(value * ref_gpu_est_s, 1),
+                "vs_baseline_cpu_reenactment": round(value / baseline, 2),
                 "vs_baseline_gpu_floor": round(value * ref_gpu_floor_s, 1),
                 "gpu_baseline_assumption": (
                     "reference CNNs (451 TFLOP/slide) at 2.5 TF/s effective "

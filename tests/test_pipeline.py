@@ -169,6 +169,38 @@ def test_patch_stream_propagates_decode_errors(tmp_path):
         list(iter_patch_batches(paths, batch_size=2))
     with pytest.raises(Exception):
         list(iter_patch_batches(paths, batch_size=2, prefetch=0))
+    with pytest.raises(Exception):
+        # the decode POOL must propagate worker errors too (apply_async
+        # .get re-raises), not hang or truncate
+        list(iter_patch_batches(paths, batch_size=2, decode_workers=2))
+
+
+def test_decode_pool_yields_identical_batches(tmp_path):
+    """The multi-process decode pool (decode_workers>0) must yield byte-
+    identical batches, in order, vs the single-thread path — including the
+    trailing short batch (PERF_NOTES 'real-file ingestion' knob)."""
+    from wsi_hgnn_tpu.pipeline.patches import iter_patch_batches, list_patches
+    from wsi_hgnn_tpu.profiling import StageTimer
+
+    rng = np.random.RandomState(0)
+    d = tmp_path / "bag"
+    d.mkdir()
+    for i in range(7):  # 7 patches at batch 3 -> trailing batch of 1
+        arr = rng.randint(0, 255, (256, 256, 3), np.uint8)
+        Image.fromarray(arr).save(d / f"{i}_0.jpeg", quality=90)
+    paths = list_patches(d)
+
+    timer = StageTimer()
+    seq = list(iter_patch_batches(paths, batch_size=3, timer=timer,
+                                  timer_stage="decode"))
+    pooled = list(iter_patch_batches(paths, batch_size=3, decode_workers=2,
+                                     timer=timer, timer_stage="decode"))
+    assert len(seq) == len(pooled) == 3
+    assert [b.shape for b in seq] == [(3, 256, 256, 3)] * 2 + [(1, 256, 256, 3)]
+    for a, b in zip(seq, pooled):
+        np.testing.assert_array_equal(a, b)
+    # decode seconds were attributed for both paths (6 batches total)
+    assert timer.counts["decode"] == 6 and timer.totals["decode"] > 0
 
 
 def test_splits_with_tcga_in_directory_name(tmp_path):

@@ -154,8 +154,33 @@ class GraphConstructor:
             if not paths:
                 raise FileNotFoundError(f"no patches under {wsi_data}")
             batch = int(hovernet_config.get("batch_size", 32) or 32)
-            for pb in iter_patch_batches(paths, batch):
-                f, t = encoder(pb)
+            # decode_workers: 0 = one prefetch thread; N = N-process decode
+            # pool; "auto" = one per host core. The reference reaches the
+            # same overlap with DataLoader num_workers
+            # (graph_constructor.py:228-235). Stage split (PERF_NOTES
+            # "real-file ingestion"): 'construct/decode' = decode work
+            # (even when overlapped), 'construct/patch_wait' = time the
+            # pipeline actually STALLED for pixels, 'construct/encode' =
+            # the device featurizer call.
+            workers = self.config.get("decode_workers", 0)
+            if workers == "auto":
+                workers = os.cpu_count() or 1
+            it = iter_patch_batches(
+                paths, batch, decode_workers=int(workers or 0),
+                timer=GLOBAL_TIMER, timer_stage="construct/decode",
+            )
+            sentinel = object()
+            while True:
+                # relative names: under construct_all these render nested as
+                # construct/featurize/{patch_wait,encode}; the decode work
+                # itself is accumulated under the absolute 'construct/decode'
+                # (worker-side wall time, overlapped with encode)
+                with GLOBAL_TIMER.stage("patch_wait"):
+                    pb = next(it, sentinel)
+                if pb is sentinel:
+                    break
+                with GLOBAL_TIMER.stage("encode"):
+                    f, t = encoder(pb)
                 feats.append(f)
                 types.append(
                     t if t is not None else np.zeros(len(f), np.int32)
@@ -262,9 +287,10 @@ def construct_all(graph_config: Dict, hovernet_config: Dict, kimianet_config: Di
                     n_node_types=g.n_node_types,
                     is_hetero=is_hetero,
                 )
-            dump(het, het_file, True)
-            dump(homo, homo_file, False)
-            np.save(out_dir / "node_types" / (tail + ".npy"), node_type)
+            with GLOBAL_TIMER.stage("construct/save"):
+                dump(het, het_file, True)
+                dump(homo, homo_file, False)
+                np.save(out_dir / "node_types" / (tail + ".npy"), node_type)
             written += 1
             if verbose:
                 print(f"Graphs saved for {tail}")

@@ -29,9 +29,12 @@ class StageTimer:
     """
 
     def __init__(self) -> None:
+        import threading
+
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
         self._stack: list = []
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def stage(self, name: str) -> Iterator[None]:
@@ -45,6 +48,15 @@ class StageTimer:
             self._stack.pop()
             self.totals[full] += dt
             self.counts[full] += 1
+
+    def add(self, name: str, seconds: float, count: int = 1) -> None:
+        """Accumulate externally-measured time under an ABSOLUTE stage name
+        (no stack prefix — callers may report from worker threads/processes
+        whose context is unrelated to the consumer's stage stack, e.g. the
+        decode pool's per-batch wall time, pipeline.patches)."""
+        with self._lock:
+            self.totals[name] += seconds
+            self.counts[name] += count
 
     def report(self) -> str:
         lines = [f"{'stage':<40} {'calls':>6} {'total s':>10} {'mean ms':>10}"]

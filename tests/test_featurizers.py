@@ -345,6 +345,30 @@ def test_make_encode_fixed_shape_padding():
     assert feats.shape == (6, 4) and types is None
 
 
+def test_encoder_uint8_chunks_match_f32():
+    """CNN encoders accept raw uint8 chunks (accepts_uint8) and normalise
+    ON DEVICE (_norm_pixels inside the jitted program) — the real-file
+    ingestion path ships 4x fewer bytes. Must equal the f32 host path
+    exactly (uint8 -> f32/255 is the same arithmetic either side)."""
+    import jax
+
+    from wsi_hgnn_tpu.models.featurizers import make_cnn_encoder
+
+    enc = make_cnn_encoder(
+        "kimia", {"feature_dim": 1024, "n_node_type": 6}, {}, {},
+        with_typing=False, pad_batch_to=4,
+    )
+    assert enc.accepts_uint8
+    rng = np.random.RandomState(0)
+    # small patches keep the CPU DenseNet trace cheap; conv nets accept
+    # any spatial size
+    u8 = rng.randint(0, 255, (3, 32, 32, 3)).astype(np.uint8)
+    f_u8, _ = enc(u8)
+    f_f32, _ = enc(u8.astype(np.float32) / np.float32(255.0))
+    assert f_u8.shape == (3, 1024)
+    np.testing.assert_allclose(f_u8, f_f32, atol=1e-6)
+
+
 def test_efficientnet_static_same_padding_ladder():
     """B4's conv pads are frozen from the NATIVE 380 ladder
     (efficientnet_pytorch Conv2dStaticSamePadding): at the k=5/s=2

@@ -202,6 +202,17 @@ def test_decode_pool_yields_identical_batches(tmp_path):
     # decode seconds were attributed for both paths (6 batches total)
     assert timer.counts["decode"] == 6 and timer.totals["decode"] > 0
 
+    # out_dtype='uint8' (the CNN-encoder fast path: scaling happens on
+    # device) yields the same pixels, unscaled, on BOTH decode paths
+    u8_seq = list(iter_patch_batches(paths, batch_size=3,
+                                     out_dtype="uint8"))
+    u8_pool = list(iter_patch_batches(paths, batch_size=3,
+                                      decode_workers=2, out_dtype="uint8"))
+    for a, b8, c8 in zip(seq, u8_seq, u8_pool):
+        assert b8.dtype == np.uint8 and c8.dtype == np.uint8
+        np.testing.assert_array_equal(b8, c8)
+        np.testing.assert_allclose(a, b8.astype(np.float32) / 255.0)
+
 
 def test_splits_with_tcga_in_directory_name(tmp_path):
     """A 'TCGA' substring in the graphs directory must not corrupt the

@@ -356,6 +356,145 @@ def test_hetero_serving_is_grouping_invariant(tmp_path):
                                    err_msg=f"{gnn} grouping-dependent")
 
 
+def _fake_encoder(in_dim=16, n_types=6):
+    """Deterministic stand-in for the fused two-CNN encoder: mean RGB per
+    patch through a fixed projection (chunk-invariant, so the predictor's
+    chunked featurize equals a whole-slide call)."""
+    rng = np.random.RandomState(123)
+    W = rng.randn(3, in_dim).astype(np.float32)
+
+    def enc(patches):
+        p = np.asarray(patches, np.float32)
+        m = p.mean(axis=(1, 2))
+        feats = (m @ W).astype(np.float32)
+        types = (np.abs(m.sum(1) * 1e3).astype(np.int64) % n_types
+                 ).astype(np.int32)
+        return feats, types
+
+    return enc
+
+
+def _pixels(n, seed, ps=8):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 255, (n, ps, ps, 3)).astype(np.uint8)
+
+
+def _post_pixels(port, px):
+    buf = io.BytesIO()
+    np.savez(buf, pixels=px)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/predict", data=buf.getvalue(),
+        headers={"Content-Type": "application/octet-stream"},
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def test_predict_pixels_matches_feature_path(tmp_path):
+    """Pixels-in serving == featurize + feature-path predict, exactly:
+    the served slide-to-prediction pipeline is the benchmarked one."""
+    pred = make_predictor(tmp_path, "GCN")
+    pred.enable_pixels(encoder=_fake_encoder(), patch_size=8, chunk=16)
+    px = [_pixels(40, 1), _pixels(70, 2)]
+    probs = pred.predict_many_pixels(px)
+    enc = _fake_encoder()
+    want = pred.predict_many(
+        [enc(p.astype(np.float32) / 255.0) for p in px]
+    )
+    np.testing.assert_allclose(probs, want, atol=2e-5)
+    # 40 and 70 patches at chunk 16 -> 3 + 5 encoder chunks, timed
+    assert pred.timing["featurize_chunks"] == 8
+    assert pred.timing["featurize_ms"] > 0
+
+
+def test_http_pixels_requests(tmp_path):
+    pred = make_predictor(tmp_path, "GCN")
+    pred.enable_pixels(encoder=_fake_encoder(), patch_size=8, chunk=16)
+    px = _pixels(40, 5)
+    want = pred.predict_many_pixels([px])[0]
+
+    server = BatchingServer(pred, max_batch=4, max_wait_ms=50.0)
+    server.warmup(40, pixels=True)
+    server.start()
+    try:
+        out = _post_pixels(server.port, px)
+        np.testing.assert_allclose(out["probs"], want, atol=2e-5)
+        # f32 pixels in [0,1] are accepted and agree with uint8
+        out_f = _post_pixels(server.port,
+                             px.astype(np.float32) / np.float32(255.0))
+        np.testing.assert_allclose(out_f["probs"], out["probs"], atol=2e-5)
+        # wrong patch size / dtype 400 at the handler
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post_pixels(server.port, _pixels(4, 6, ps=16))
+        assert exc.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post_pixels(server.port, _pixels(4, 6).astype(np.float64))
+        assert exc.value.code == 400
+    finally:
+        server.stop()
+
+
+def test_http_pixels_rejected_when_not_enabled(tmp_path):
+    """A pixels request against a features-only server must 400 with a
+    clear message, not 500 inside a device batch."""
+    pred = make_predictor(tmp_path, "GCN")
+    server = BatchingServer(pred)
+    server.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post_pixels(server.port, _pixels(8, 1))
+        assert exc.value.code == 400
+        assert "not configured" in exc.value.read().decode()
+    finally:
+        server.stop()
+
+
+def test_pixel_and_feature_requests_never_share_a_batch(tmp_path):
+    """Pixel and feature requests of the SAME node bucket run different
+    program chains — they must coalesce only with their own kind."""
+    pred = make_predictor(tmp_path, "GCN")
+    pred.enable_pixels(encoder=_fake_encoder(), patch_size=8, chunk=16)
+    px = [_pixels(40, 7 + i) for i in range(2)]
+    ft = [_slide(40, 9 + i) for i in range(2)]
+    want_px = pred.predict_many_pixels(px)
+    want_ft = pred.predict_many(ft)
+
+    server = BatchingServer(pred, max_batch=4, max_wait_ms=1500.0)
+    server.start()
+    try:
+        results = {}
+
+        def call_px(i):
+            results[f"px{i}"] = _post_pixels(server.port, px[i])
+
+        def call_ft(i):
+            results[f"ft{i}"] = _post_npz(server.port, *ft[i])
+
+        threads = [threading.Thread(target=call_px, args=(i,))
+                   for i in range(2)]
+        threads += [threading.Thread(target=call_ft, args=(i,))
+                    for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for i in range(2):
+            np.testing.assert_allclose(
+                results[f"px{i}"]["probs"], want_px[i], atol=2e-5)
+            np.testing.assert_allclose(
+                results[f"ft{i}"]["probs"], want_ft[i], atol=2e-5)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/stats", timeout=10
+        ) as r:
+            stats = json.loads(r.read())
+        # kinds never mix: >= 2 batches, never one batch of 4
+        assert stats["batches"] >= 2
+        assert stats["batched_requests_max"] <= 2
+        assert stats["errors"] == 0
+    finally:
+        server.stop()
+
+
 def test_oversized_body_is_rejected(tmp_path):
     """An oversized client-declared Content-Length must 413 before the
     body is read into RAM (one request must not be able to OOM the

@@ -95,6 +95,14 @@ def main():
     p.add_argument("--inproc", action="store_true",
                    help="skip HTTP: drive predict_many directly with "
                         "pre-decoded features (device+pack ceiling)")
+    p.add_argument("--pixels", action="store_true",
+                   help="serve RAW PATCH PIXELS: requests carry [N,256,256,3]"
+                        " uint8 and the server runs the fused two-CNN "
+                        "encoder (KimiaNet + HoVer-Net typing) before the "
+                        "graph — the benchmarked slide-to-prediction "
+                        "pipeline as a service")
+    p.add_argument("--pixel-chunk", type=int, default=128,
+                   help="encoder chunk (the b128 ladder winner)")
     args = p.parse_args()
 
     from wsi_hgnn_tpu.serve import BatchingServer, SlidePredictor
@@ -113,60 +121,93 @@ def main():
     else:
         predictor = synth_predictor(args.feat_dim, args.radius)
 
+    if args.pixels:
+        predictor.enable_pixels({"batch_size": args.pixel_chunk}, {})
+
     if args.inproc:
         print(f"warmup: batch {args.max_batch} x {args.patches} patches ...",
               flush=True)
         t0 = time.perf_counter()
-        predictor.warmup(args.patches, batch_sizes=(args.max_batch,))
+        if args.pixels:
+            predictor.warmup_pixels(args.patches,
+                                    batch_sizes=(args.max_batch,))
+        else:
+            predictor.warmup(args.patches, batch_sizes=(args.max_batch,))
         print(f"warmup done in {time.perf_counter() - t0:.1f}s", flush=True)
         rng = np.random.RandomState(1)
-        groups = [
-            [(rng.randn(args.patches, predictor.in_dim).astype(np.float32),
-              rng.randint(0, 6, args.patches).astype(np.int32))
-             for _ in range(args.max_batch)]
-            for _ in range(2)
-        ]
+        if args.pixels:
+            groups = [
+                [rng.randint(0, 255, (args.patches, 256, 256, 3)
+                             ).astype(np.uint8)
+                 for _ in range(args.max_batch)]
+                for _ in range(2)
+            ]
+            run = predictor.predict_many_pixels
+        else:
+            groups = [
+                [(rng.randn(args.patches, predictor.in_dim
+                            ).astype(np.float32),
+                  rng.randint(0, 6, args.patches).astype(np.int32))
+                 for _ in range(args.max_batch)]
+                for _ in range(2)
+            ]
+            run = predictor.predict_many
         predictor.reset_timing()
         n_batches = max(args.requests // args.max_batch, 1)
         t0 = time.perf_counter()
         for i in range(n_batches):
-            predictor.predict_many(groups[i % len(groups)])
+            run(groups[i % len(groups)])
         wall_s = time.perf_counter() - t0
         tm = predictor.timing
         n = n_batches * args.max_batch
         warm = max(tm["calls"] - tm["cold_calls"], 1)
+        feat_note = (
+            f", featurize {tm['featurize_ms'] / max(n, 1):.1f} ms/slide "
+            f"({tm['featurize_ms'] / 1e3 / wall_s * 100:.0f}% of wall)"
+            if args.pixels else ""
+        )
         print(
-            f"inproc (no HTTP, pre-decoded): {n} slides of {args.patches} x "
-            f"{predictor.in_dim}-d in {wall_s:.1f}s -> {n / wall_s:.2f} "
+            f"inproc (no HTTP{', pixels-in' if args.pixels else ', pre-decoded'}): "
+            f"{n} slides of {args.patches} x "
+            f"{'256x256x3 px' if args.pixels else str(predictor.in_dim) + '-d'} "
+            f"in {wall_s:.1f}s -> {n / wall_s:.2f} "
             f"slides/s; per WARM device batch of {args.max_batch}: pack "
             f"{tm['pack_ms'] / tm['calls']:.1f} ms, device "
             f"{tm['device_ms'] / warm:.1f} ms "
-            f"({tm['device_ms'] / max(tm['pack_ms'] + tm['device_ms'], 1e-9) * 100:.0f}% device); "
+            f"({tm['device_ms'] / max(tm['pack_ms'] + tm['device_ms'], 1e-9) * 100:.0f}% device)"
+            f"{feat_note}; "
             f"{tm['cold_calls']} cold call(s) booked "
             f"{tm['compile_ms'] / 1e3:.1f}s compile"
         )
         return
 
     server = BatchingServer(
-        predictor, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
+        predictor, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        max_body_mb=1024.0 if args.pixels else 256.0,
     )
     print(f"warmup: batch {args.max_batch} x {args.patches} patches ...",
           flush=True)
     t0 = time.perf_counter()
-    server.warmup(args.patches)
+    server.warmup(args.patches, pixels=args.pixels)
     print(f"warmup done in {time.perf_counter() - t0:.1f}s", flush=True)
     predictor.reset_timing()
 
-    # one request body per client, rotated (synthesis off the clock)
+    # one request body per client, rotated (synthesis off the clock);
+    # pixel bodies are ~0.2 MB/patch — cap the pool at 2
     rng = np.random.RandomState(1)
     bodies = []
-    for _ in range(min(args.clients, 4)):
+    for _ in range(min(args.clients, 2 if args.pixels else 4)):
         buf = io.BytesIO()
-        np.savez(
-            buf,
-            features=rng.randn(args.patches, predictor.in_dim).astype(np.float32),
-            node_types=rng.randint(0, 6, args.patches).astype(np.int32),
-        )
+        if args.pixels:
+            np.savez(buf, pixels=rng.randint(
+                0, 255, (args.patches, 256, 256, 3)).astype(np.uint8))
+        else:
+            np.savez(
+                buf,
+                features=rng.randn(
+                    args.patches, predictor.in_dim).astype(np.float32),
+                node_types=rng.randint(0, 6, args.patches).astype(np.int32),
+            )
         bodies.append(buf.getvalue())
 
     latencies: list[float] = []
@@ -228,13 +269,19 @@ def main():
     pack_s = tm["pack_ms"] / 1e3
     dev_s = tm["device_ms"] / 1e3
     comp_s = tm["compile_ms"] / 1e3
-    other = wall["s"] - pack_s - dev_s - comp_s
+    feat_s = tm["featurize_ms"] / 1e3
+    other = wall["s"] - pack_s - dev_s - comp_s - feat_s
     warm = max(tm["calls"] - tm["cold_calls"], 1)
+    feat_note = (
+        f"featurize {feat_s:.1f}s ({feat_s / wall['s'] * 100:.0f}%, "
+        f"{tm['featurize_chunks']} chunks) + " if feat_s else ""
+    )
     print(
         f"split: decode {dec:.1f} ms/req; per batch pack "
         f"{tm['pack_ms'] / max(tm['calls'], 1):.1f} ms, warm device "
         f"{tm['device_ms'] / warm:.1f} ms, lock wait "
-        f"{tm['lock_wait_ms'] / max(tm['calls'], 1):.1f} ms; wall = device "
+        f"{tm['lock_wait_ms'] / max(tm['calls'], 1):.1f} ms; wall = "
+        f"{feat_note}device "
         f"{dev_s:.1f}s ({dev_s / wall['s'] * 100:.0f}%) + compile {comp_s:.1f}s "
         f"({tm['cold_calls']} cold calls) + pack {pack_s:.1f}s "
         f"({pack_s / wall['s'] * 100:.0f}%) + transport/queueing "

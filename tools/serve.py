@@ -7,6 +7,11 @@ Requests: POST /predict with an .npz body holding `features` [N, D] f32
 (+ optional `node_types` [N] int — the per-slide arrays
 pipeline.construct writes); response JSON {"probs": [...], "pred": k}.
 GET /healthz, GET /stats. See wsi_hgnn_tpu/serve.py.
+
+--pixels-config <GraphConstruction YAML> additionally serves RAW PATCH
+PIXELS (`pixels` [N, 256, 256, 3] uint8 in the npz): the full
+slide-to-prediction pipeline — fused two-CNN featurize (KimiaNet +
+HoVer-Net typing) -> on-device graph -> logits — as a service.
 """
 from __future__ import annotations
 
@@ -35,6 +40,13 @@ def main():
                    help="bytes allowed for the lattice path's [B, N*k, N] "
                         "one-hot working set; oversized groups fall back "
                         "to the TypedGraph program")
+    p.add_argument("--pixels-config", default="",
+                   help="GraphConstruction YAML (hovernet_config/"
+                        "kimianet_config sections); enables POST `pixels` "
+                        "requests through the fused two-CNN encoder")
+    p.add_argument("--max-body-mb", type=float, default=512.0,
+                   help="request body cap (a 2048-patch uint8 pixel slide "
+                        "is ~402 MB)")
     args = p.parse_args()
 
     from wsi_hgnn_tpu.config import load_config
@@ -49,6 +61,11 @@ def main():
         config, radius=args.radius, n_node_types=args.n_node_types,
         knn_impl=args.knn_impl, lattice_mem_budget=args.lattice_mem_budget,
     )
+    if args.pixels_config:
+        gcfg = load_config(args.pixels_config)
+        predictor.enable_pixels(
+            gcfg.get("hovernet_config", {}), gcfg.get("kimianet_config", {})
+        )
     if args.warmup:
         # the batcher pads every device call to max_batch, so one warmup
         # shape per bucket covers all group sizes. Warm BEFORE binding the
@@ -58,12 +75,18 @@ def main():
         print(f"warmup: compiling batch {args.max_batch} x "
               f"{args.warmup}-patch slides ...")
         predictor.warmup(args.warmup, batch_sizes=(args.max_batch,))
+        if predictor.pixels_enabled:
+            print("warmup: compiling the two-CNN encoder chunk ...")
+            predictor.warmup_pixels(args.warmup,
+                                    batch_sizes=(args.max_batch,))
     server = BatchingServer(
         predictor, host=args.host, port=args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        max_body_mb=args.max_body_mb,
     )
     print(f"serving model v{predictor.version} on "
-          f"http://{args.host}:{server.port}  (POST /predict)")
+          f"http://{args.host}:{server.port}  (POST /predict"
+          + (", pixels enabled)" if predictor.pixels_enabled else ")"))
     server.serve_forever()
 
 

@@ -100,18 +100,33 @@ def make_hover_typing(hovernet_config: Dict, nr_types: int = 6
     return typing
 
 
+def _norm_pixels(imgs):
+    """uint8 pixels -> f32 [0,1] ON DEVICE (dtype is static at trace time).
+    Callers may ship uint8 patch chunks — 4x less host->device traffic
+    (the real-file ingestion path measured the f32 upload + host astype as
+    its dominant cost, PERF_NOTES 'real-file ingestion') — and the
+    conversion fuses into the first conv's input handling."""
+    import jax.numpy as jnp
+
+    if imgs.dtype == jnp.uint8:
+        return imgs.astype(jnp.float32) / 255.0
+    return imgs
+
+
 def _batch_jit(fn, mesh):
     """jit `fn(imgs) -> pytree of [B, ...]`; with a mesh, shard the batch
     dim over its devices via shard_map (parallel.make_sharded_batch_apply)
     — the reference's DataParallel featurizer axis
-    (graph_constructor.py:124,179) as per-device unbatched programs."""
+    (graph_constructor.py:124,179) as per-device unbatched programs.
+    Accepts uint8 or f32 pixels (_norm_pixels runs inside the program)."""
     import jax
 
+    body = lambda imgs: fn(_norm_pixels(imgs))  # noqa: E731
     if mesh is None:
-        return jax.jit(fn)
+        return jax.jit(body)
     from ...parallel.mesh import make_sharded_batch_apply
 
-    return make_sharded_batch_apply(fn, mesh)
+    return make_sharded_batch_apply(body, mesh)
 
 
 def _pad_rows(arr: np.ndarray, multiple: int) -> np.ndarray:
@@ -134,9 +149,15 @@ def _make_encode(fn, n_dev: int, pad_batch_to: Optional[int]):
     each compile its own program (minutes per shape on remote-compile
     platforms). The extra rows are repeats of the last patch; their cost
     is milliseconds of MXU time. Padding to a multiple of the mesh size
-    (n_dev) keeps the sharded batch divisible either way."""
+    (n_dev) keeps the sharded batch divisible either way.
+
+    uint8 chunks pass through UNCONVERTED — the [0,1] scaling happens on
+    device (_norm_pixels), so the host never materialises the 4x-bigger
+    f32 buffer and the device link carries a quarter of the bytes."""
     def encode(patches: np.ndarray):
-        arr = np.asarray(patches, np.float32)
+        arr = np.asarray(patches)
+        if arr.dtype != np.uint8:
+            arr = np.asarray(arr, np.float32)
         b = arr.shape[0]
         if pad_batch_to:
             arr = _pad_rows(arr, pad_batch_to)
@@ -146,6 +167,9 @@ def _make_encode(fn, n_dev: int, pad_batch_to: Optional[int]):
         feats = np.asarray(feats, np.float32)[:b]
         return feats, (None if types is None else np.asarray(types)[:b])
 
+    # the construction/serving pipelines check this marker to keep patch
+    # batches uint8 end-to-end (pipeline.patches out_dtype, serve.featurize)
+    encode.accepts_uint8 = True
     return encode
 
 

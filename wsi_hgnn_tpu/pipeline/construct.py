@@ -8,8 +8,9 @@ and PanNuke node types, build the KNN/Pearson typed graph on device, and
 write the reference's three outputs per slide under out_dir:
 heterogeneous/<slide>.npz, homogeneous/<slide>.npz, node_types/<slide>.npy.
 
-Encoders are pluggable callables `(patches [B,256,256,3] f32) ->
-(features [B, D], node_types [B] | None)`; 'precomputed' reads
+Encoders are pluggable callables `(patches [B,256,256,3] f32 in [0,1] —
+or raw uint8 when the encoder sets .accepts_uint8, normalised on device)
+-> (features [B, D], node_types [B] | None)`; 'precomputed' reads
 <slide>.features.npz from disk for feature-level workflows.
 """
 from __future__ import annotations
@@ -165,9 +166,16 @@ class GraphConstructor:
             workers = self.config.get("decode_workers", 0)
             if workers == "auto":
                 workers = os.cpu_count() or 1
+            # CNN encoders normalise on device (accepts_uint8): ship raw
+            # decoded bytes — no host f32 materialisation, 4x fewer bytes
+            # over the device link (PERF_NOTES "real-file ingestion")
+            out_dtype = ("uint8"
+                         if getattr(encoder, "accepts_uint8", False)
+                         else "float32")
             it = iter_patch_batches(
                 paths, batch, decode_workers=int(workers or 0),
                 timer=GLOBAL_TIMER, timer_stage="construct/decode",
+                out_dtype=out_dtype,
             )
             sentinel = object()
             while True:

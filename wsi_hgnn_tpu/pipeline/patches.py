@@ -72,7 +72,7 @@ def _decode_batch_u8(path_strs: List[str], size: int):
 
 
 def _iter_pooled(paths, chunks, size, prefetch, decode_workers, timer,
-                 timer_stage):
+                 timer_stage, out_dtype):
     """Multi-process decode: per-batch tasks on a fork pool, bounded at
     decode_workers + prefetch outstanding batches (an unbounded imap would
     buffer a whole slide's decoded pixels — ~1.6 GB at 2048 patches)."""
@@ -114,7 +114,8 @@ def _iter_pooled(paths, chunks, size, prefetch, decode_workers, timer,
             submit()
             if timer is not None:
                 timer.add(timer_stage, dt)
-            yield arr_u8.astype(np.float32) / 255.0
+            yield (arr_u8 if out_dtype == "uint8"
+                   else arr_u8.astype(np.float32) / 255.0)
 
 
 def iter_patch_batches(
@@ -125,8 +126,9 @@ def iter_patch_batches(
     decode_workers: int = 0,
     timer=None,
     timer_stage: str = "decode",
+    out_dtype: str = "float32",
 ) -> Iterator[np.ndarray]:
-    """Yield [b, size, size, 3] float32 batches with background decoding.
+    """Yield [b, size, size, 3] batches with background decoding.
 
     decode_workers=0: one prefetch thread overlaps decode with device
     compute (enough when decode/batch < device/batch). decode_workers>0:
@@ -135,6 +137,12 @@ def iter_patch_batches(
     (PERF_NOTES "real-file ingestion"). timer (a profiling.StageTimer)
     accumulates worker decode seconds under 'decode' even though the work
     is overlapped — the split bench_ingest.py reports.
+
+    out_dtype: 'float32' (default) scales to [0,1] on the host; 'uint8'
+    yields raw decoded bytes for encoders that normalise ON DEVICE
+    (encode.accepts_uint8) — the host skips a 4x-bigger f32
+    materialisation and the device link carries 4x fewer bytes (the
+    dominant real-file ingestion cost on this host, PERF_NOTES).
     """
     chunks = [
         list(range(i, min(i + batch_size, len(paths))))
@@ -142,13 +150,14 @@ def iter_patch_batches(
     ]
     if decode_workers and decode_workers > 0:
         yield from _iter_pooled(paths, chunks, size, prefetch,
-                                int(decode_workers), timer, timer_stage)
+                                int(decode_workers), timer, timer_stage,
+                                out_dtype)
         return
 
     def make(idxs):
         t0 = time.perf_counter()
         arr = np.stack([_load_patch_u8(paths[i], size) for i in idxs])
-        out = arr.astype(np.float32) / 255.0
+        out = arr if out_dtype == "uint8" else arr.astype(np.float32) / 255.0
         if timer is not None:
             timer.add(timer_stage, time.perf_counter() - t0)
         return out

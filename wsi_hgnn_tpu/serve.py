@@ -24,6 +24,16 @@ Request wire format (POST /predict): an .npz body with `features`
 `pipeline.construct` writes per slide — answered with JSON
 `{"probs": [...], "pred": k}`. GET /healthz and GET /stats are liveness
 and observability endpoints.
+
+PIXELS-IN serving (the full slide-to-prediction pipeline as a service —
+the same path bench.py measures): `SlidePredictor.enable_pixels` attaches
+the constructor's fused two-CNN encoder (KimiaNet features + HoVer-Net
+nucleus typing over one patch stream, models.featurizers.make_cnn_encoder
+— the reference constructor's semantics, graph_constructor.py:239-254);
+requests then POST `pixels` [N, P, P, 3] uint8 (or f32 in [0,1]) instead
+of `features`, and the server featurizes -> constructs the graph on
+device -> predicts. Pixel and feature requests coexist; they never share
+a device batch (different bucket kinds).
 """
 from __future__ import annotations
 
@@ -152,7 +162,96 @@ class SlidePredictor:
         self.timing = {
             "pack_ms": 0.0, "lock_wait_ms": 0.0, "device_ms": 0.0,
             "compile_ms": 0.0, "calls": 0, "cold_calls": 0,
+            "featurize_ms": 0.0, "featurize_chunks": 0,
         }
+
+    # ------------------------------------------------------------------ #
+    # pixels-in: the full slide-to-prediction pipeline as a service
+    # ------------------------------------------------------------------ #
+    def enable_pixels(
+        self,
+        hovernet_config: Optional[Dict] = None,
+        kimianet_config: Optional[Dict] = None,
+        encoder=None,
+        patch_size: int = 256,
+        chunk: Optional[int] = None,
+        encoder_name: str = "kimia",
+    ) -> None:
+        """Attach a patch-pixel featurizer so requests can carry raw patch
+        pixels. Default: the production fused two-CNN encoder (KimiaNet
+        1024-d features + HoVer-Net typing over ONE decoded patch stream,
+        make_cnn_encoder with_typing=True) at the constructor's chunk size
+        (hovernet_config batch_size, default 128 — the b128 ladder winner).
+        `encoder` injects a custom `(patches [B,P,P,3] f32) -> (features,
+        node_types)` callable (tests; 'precomputed' feature workflows).
+        """
+        hovernet_config = dict(hovernet_config or {})
+        if chunk is None:
+            chunk = int(hovernet_config.get("batch_size", 128) or 128)
+        if encoder is None:
+            from .models.featurizers import make_cnn_encoder
+
+            encoder = make_cnn_encoder(
+                encoder_name,
+                {"feature_dim": self.in_dim, "n_node_type": self.n_node_types},
+                hovernet_config, dict(kimianet_config or {}),
+                with_typing=True, pad_batch_to=chunk,
+            )
+        self._encoder = encoder
+        self._patch_size = int(patch_size)
+        self._chunk = int(chunk)
+
+    @property
+    def pixels_enabled(self) -> bool:
+        return getattr(self, "_encoder", None) is not None
+
+    def featurize(self, pixels: np.ndarray
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+        """Patch pixels [N, P, P, 3] (uint8 or f32 in [0,1]) -> (features
+        [N, D] f32, node_types [N] i32) via the attached encoder, in
+        chunks of the compiled batch size. Device work — serialized under
+        the predictor lock like every predict call."""
+        if not self.pixels_enabled:
+            raise RuntimeError("pixels not enabled: call enable_pixels()")
+        px = np.asarray(pixels)
+        if px.dtype == np.uint8:
+            if not getattr(self._encoder, "accepts_uint8", False):
+                px = px.astype(np.float32) / 255.0
+            # else: ship raw bytes; the encoder normalises on device
+        else:
+            px = px.astype(np.float32)
+        feats, types = [], []
+        t0 = time.perf_counter()
+        with self._lock:
+            for i in range(0, len(px), self._chunk):
+                f, t = self._encoder(px[i : i + self._chunk])
+                feats.append(np.asarray(f, np.float32))
+                types.append(
+                    np.zeros(len(f), np.int32) if t is None
+                    else np.asarray(t, np.int32)
+                )
+                self.timing["featurize_chunks"] += 1
+            self.timing["featurize_ms"] += (time.perf_counter() - t0) * 1e3
+        return np.concatenate(feats), np.concatenate(types)
+
+    def predict_many_pixels(
+        self, slides: Sequence[np.ndarray]
+    ) -> np.ndarray:
+        """[pixels [N_i, P, P, 3]] -> probs [B, C]: featurize every slide
+        through the fused two-CNN encoder, then one grouped feature-path
+        call (the graph never exists on the host)."""
+        return self.predict_many([self.featurize(px) for px in slides])
+
+    def warmup_pixels(self, n_patches: int = 2048,
+                      batch_sizes: Sequence[int] = (1,)) -> None:
+        """Pre-compile the encoder chunk program AND the downstream
+        feature-path program(s) for pixel requests."""
+        px = np.zeros(
+            (min(n_patches, self._chunk), self._patch_size,
+             self._patch_size, 3), np.uint8,
+        )
+        self.featurize(px)  # one chunk compiles the (padded) encoder shape
+        self.warmup(n_patches, batch_sizes=batch_sizes)
 
     def _predict_fn_for(self, batch: int, cap: int):
         """Pick the lattice or TypedGraph program for a padded group of
@@ -252,15 +351,21 @@ class SlidePredictor:
 # Micro-batching HTTP server
 # -------------------------------------------------------------------- #
 class _Request:
-    __slots__ = ("features", "node_types", "bucket", "event", "probs", "error")
+    __slots__ = ("features", "node_types", "pixels", "bucket", "event",
+                 "probs", "error")
 
-    def __init__(self, features, node_types):
+    def __init__(self, features, node_types, pixels=None):
         self.features = features
         self.node_types = node_types
+        self.pixels = pixels
         # size bucket (same rounding as SlidePredictor.pack): only
         # same-bucket requests share a device batch, so a small slide
-        # never pays a big slide's padding
-        self.bucket = bucket_size(len(features), base=256)
+        # never pays a big slide's padding. Pixel requests carry a distinct
+        # bucket KIND — they run a different program chain (featurize +
+        # predict) and must never group with feature requests.
+        n = len(features) if pixels is None else len(pixels)
+        self.bucket = ("px" if pixels is not None else "ft",
+                       bucket_size(n, base=256))
         self.event = threading.Event()
         self.probs: Optional[np.ndarray] = None
         self.error: Optional[str] = None
@@ -361,9 +466,13 @@ class BatchingServer:
                     t_dec = time.perf_counter()
                     z = np.load(io.BytesIO(self.rfile.read(length)),
                                 allow_pickle=False)
-                    feats = np.asarray(z["features"], np.float32)
-                    ntypes = (np.asarray(z["node_types"], np.int32)
-                              if "node_types" in z else None)
+                    pixels = feats = ntypes = None
+                    if "pixels" in z:
+                        pixels = np.asarray(z["pixels"])
+                    else:
+                        feats = np.asarray(z["features"], np.float32)
+                        ntypes = (np.asarray(z["node_types"], np.int32)
+                                  if "node_types" in z else None)
                     t_dec = (time.perf_counter() - t_dec) * 1e3
                 except Exception as e:
                     self._reply(400, {"error": f"bad request: {e}"})
@@ -372,34 +481,51 @@ class BatchingServer:
                     server.stats["decode_ms_sum"] += t_dec
                 # validate per request so one bad payload 400s alone
                 # instead of failing its whole micro-batch
-                if feats.ndim != 2 or feats.shape[0] == 0:
-                    self._reply(400, {"error": "features must be [N, D]"})
-                    return
-                if feats.shape[1] != server.predictor.in_dim:
-                    self._reply(400, {
-                        "error": f"feature dim {feats.shape[1]} != model "
-                                 f"in_dim {server.predictor.in_dim}"})
-                    return
-                if ntypes is not None and (
-                    ntypes.ndim != 1 or len(ntypes) != len(feats)
-                ):
-                    self._reply(400, {
-                        "error": "node_types must be [N] matching features"})
-                    return
-                if ntypes is not None and len(ntypes) and (
-                    int(ntypes.min()) < 0
-                    or int(ntypes.max()) >= server.predictor.n_node_types
-                ):
-                    # out-of-range ids would silently clamp on device
-                    # (JAX gather semantics) and corrupt the prediction
-                    self._reply(400, {
-                        "error": f"node_types must be in [0, "
-                                 f"{server.predictor.n_node_types})"})
-                    return
+                if pixels is not None:
+                    if not server.predictor.pixels_enabled:
+                        self._reply(400, {
+                            "error": "server not configured for pixel "
+                                     "requests (no featurizer attached)"})
+                        return
+                    ps = server.predictor._patch_size
+                    if (pixels.ndim != 4 or pixels.shape[0] == 0
+                            or pixels.shape[1:] != (ps, ps, 3)):
+                        self._reply(400, {
+                            "error": f"pixels must be [N, {ps}, {ps}, 3]"})
+                        return
+                    if pixels.dtype not in (np.uint8, np.float32):
+                        self._reply(400, {
+                            "error": "pixels must be uint8 or float32"})
+                        return
+                else:
+                    if feats.ndim != 2 or feats.shape[0] == 0:
+                        self._reply(400, {"error": "features must be [N, D]"})
+                        return
+                    if feats.shape[1] != server.predictor.in_dim:
+                        self._reply(400, {
+                            "error": f"feature dim {feats.shape[1]} != model "
+                                     f"in_dim {server.predictor.in_dim}"})
+                        return
+                    if ntypes is not None and (
+                        ntypes.ndim != 1 or len(ntypes) != len(feats)
+                    ):
+                        self._reply(400, {
+                            "error": "node_types must be [N] matching features"})
+                        return
+                    if ntypes is not None and len(ntypes) and (
+                        int(ntypes.min()) < 0
+                        or int(ntypes.max()) >= server.predictor.n_node_types
+                    ):
+                        # out-of-range ids would silently clamp on device
+                        # (JAX gather semantics) and corrupt the prediction
+                        self._reply(400, {
+                            "error": f"node_types must be in [0, "
+                                     f"{server.predictor.n_node_types})"})
+                        return
                 if server._stop.is_set():
                     self._reply(503, {"error": "server stopping"})
                     return
-                req = _Request(feats, ntypes)
+                req = _Request(feats, ntypes, pixels=pixels)
                 server.queue.put(req)
                 if server._stop.is_set():
                     # raced with shutdown: the batcher's drain may already
@@ -496,7 +622,15 @@ class BatchingServer:
             # other-bucket arrivals keep their order for the next round
             self._backlog.extendleft(reversed(skipped))
             try:
-                slides = [(r.features, r.node_types) for r in group]
+                if first.pixels is not None:
+                    # pixel group: featurize each request through the fused
+                    # two-CNN encoder FIRST, then join the normal feature
+                    # path — batch padding repeats cheap features, never
+                    # re-featurizes pixels
+                    slides = [self.predictor.featurize(r.pixels)
+                              for r in group]
+                else:
+                    slides = [(r.features, r.node_types) for r in group]
                 if self.pad_batches and len(slides) < self.max_batch:
                     slides += [slides[0]] * (self.max_batch - len(slides))
                 probs = self.predictor.predict_many(slides)[: len(group)]
@@ -520,16 +654,23 @@ class BatchingServer:
                     r.error = "server error"
                 r.event.set()
 
-    def warmup(self, n_patches: int, feat_dim: Optional[int] = None) -> None:
+    def warmup(self, n_patches: int, feat_dim: Optional[int] = None,
+               pixels: bool = False) -> None:
         """Pre-compile the shapes THIS server will dispatch. With the
         default pad_batches=True every device call uses batch ==
         max_batch, so predictor.warmup's own default (batch 1) would
         compile a program the batcher never calls — and on remote-compile
         platforms the first real request would then cold-compile off the
-        main thread. Call this from the main thread before start()."""
-        self.predictor.warmup(
-            n_patches, feat_dim=feat_dim, batch_sizes=(self.max_batch,)
-        )
+        main thread. Call this from the main thread before start().
+        pixels=True also compiles the fused two-CNN encoder chunk."""
+        if pixels:
+            self.predictor.warmup_pixels(
+                n_patches, batch_sizes=(self.max_batch,)
+            )
+        else:
+            self.predictor.warmup(
+                n_patches, feat_dim=feat_dim, batch_sizes=(self.max_batch,)
+            )
 
     def start(self) -> None:
         """Run both loops in background threads (in-process / test use)."""

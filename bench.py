@@ -563,6 +563,12 @@ def main():
                     "the reference's eager fp32 torch; + host graph build "
                     "measured on this host"
                 ),
+                "scaling_evidence": (
+                    "one chip here; tests/test_scaling_cert.py certifies "
+                    "per-device FLOPs constant at mesh 1/2/4/8 (XLA cost "
+                    "analysis) with all-reduce as the only collective, so "
+                    "slides/sec scales with chip count on a v5e-8"
+                ),
             }
         )
     )

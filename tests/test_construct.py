@@ -226,6 +226,76 @@ def test_precomputed_encoder_path(tmp_path):
     assert len(types) == 12 and np.any(types)
 
 
+def test_constructor_feeds_uint8_to_marked_encoders(tmp_path):
+    """Encoders with accepts_uint8 get RAW uint8 chunks (the 4x-smaller
+    device-link payload, normalised in-program); unmarked encoders keep
+    the f32 [0,1] contract. Both must produce the same graph."""
+    from PIL import Image
+
+    from wsi_hgnn_tpu.pipeline.construct import GraphConstructor
+
+    rng = np.random.RandomState(3)
+    slide = tmp_path / "slideU"
+    slide.mkdir()
+    for i in range(6):
+        Image.fromarray(
+            rng.randint(0, 255, (256, 256, 3)).astype(np.uint8)
+        ).save(slide / f"{i}_0.jpeg", quality=90)
+
+    seen = {}
+
+    def make_fake(mark):
+        def enc(patches):
+            seen[mark] = np.asarray(patches).dtype
+            p = np.asarray(patches)
+            if p.dtype == np.uint8:
+                p = p.astype(np.float32) / 255.0
+            f = p.reshape(len(p), -1)[:, :16].astype(np.float32)
+            return f, np.zeros(len(p), np.int32)
+
+        if mark == "u8":
+            enc.accepts_uint8 = True
+        return enc
+
+    cfg = {"radius": 3, "encoder_name": "kimia", "n_node_type": 1}
+    g_u8 = GraphConstructor(cfg, {"batch_size": 4}, {}, slide,
+                            encoder=make_fake("u8"))
+    g_f32 = GraphConstructor(cfg, {"batch_size": 4}, {}, slide,
+                             encoder=make_fake("f32"))
+    assert seen == {"u8": np.uint8, "f32": np.float32}
+    np.testing.assert_allclose(g_u8.features, g_f32.features)
+
+
+def test_decode_workers_auto_leaves_a_dispatch_core(tmp_path, monkeypatch):
+    """decode_workers 'auto' = cores-1 (a pool on every core starves the
+    device-dispatch thread — measured, PERF_NOTES); on a 1-core host it
+    degrades to the prefetch thread (workers=0)."""
+    import wsi_hgnn_tpu.pipeline.construct as C
+
+    slide = tmp_path / "slideA"
+    slide.mkdir()
+    from PIL import Image
+
+    Image.new("RGB", (256, 256)).save(slide / "0_0.jpeg")
+
+    captured = {}
+
+    def fake_iter(paths, batch, decode_workers=0, **kw):
+        captured["workers"] = decode_workers
+        yield np.zeros((1, 256, 256, 3), np.float32)
+
+    monkeypatch.setattr(C, "iter_patch_batches", fake_iter)
+    enc = lambda p: (p.reshape(len(p), -1)[:, :8], None)  # noqa: E731
+    for cores, want in ((1, 0), (4, 3)):
+        monkeypatch.setattr(C.os, "cpu_count", lambda: cores)
+        C.GraphConstructor(
+            {"radius": 2, "encoder_name": "kimia", "n_node_type": 1,
+             "decode_workers": "auto"},
+            {"batch_size": 4}, {}, slide, encoder=enc,
+        )
+        assert captured["workers"] == want, (cores, captured)
+
+
 def test_construct_all_builds_encoder_once(tmp_path, monkeypatch):
     """The cohort loop must init the (expensive CNN) encoder ONCE, not per
     slide."""

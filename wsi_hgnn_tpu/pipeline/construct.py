@@ -165,7 +165,11 @@ class GraphConstructor:
             # the device featurizer call.
             workers = self.config.get("decode_workers", 0)
             if workers == "auto":
-                workers = os.cpu_count() or 1
+                # leave one core for the device-dispatch thread — on a
+                # 1-core host the pool starves it (measured 22 -> 32 s/slide,
+                # PERF_NOTES "real-file ingestion"), so auto degrades to the
+                # prefetch thread there
+                workers = max((os.cpu_count() or 1) - 1, 0)
             # CNN encoders normalise on device (accepts_uint8): ship raw
             # decoded bytes — no host f32 materialisation, 4x fewer bytes
             # over the device link (PERF_NOTES "real-file ingestion")

@@ -221,8 +221,8 @@ class SlidePredictor:
         else:
             px = px.astype(np.float32)
         feats, types = [], []
-        t0 = time.perf_counter()
         with self._lock:
+            t0 = time.perf_counter()  # after the lock: pure featurize time
             for i in range(0, len(px), self._chunk):
                 f, t = self._encoder(px[i : i + self._chunk])
                 feats.append(np.asarray(f, np.float32))

@@ -228,6 +228,25 @@ def parse_lattice_twin(config_gnn: dict):
     )
 
 
+def _scale_by_rss_torch(eps: float = 1e-10) -> optax.GradientTransformation:
+    """torch.optim.Adagrad's accumulator scaling: g / (sqrt(sum g^2) + eps),
+    zero initial accumulator. Differs from optax.scale_by_rss, which computes
+    g * rsqrt(sum g^2 + eps) — eps inside the root."""
+    import jax
+    import jax.numpy as jnp
+
+    def init_fn(params):
+        return jax.tree.map(jnp.zeros_like, params)
+
+    def update_fn(updates, state, params=None):
+        del params
+        nu = jax.tree.map(lambda g, t: g * g + t, updates, state)
+        updates = jax.tree.map(lambda g, t: g / (jnp.sqrt(t) + eps), updates, nu)
+        return updates, nu
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def parse_optimizer(config_optim: dict) -> optax.GradientTransformation:
     """Optimizer from the `optimizer:` section (reference parser.py:16-45).
 
@@ -243,8 +262,12 @@ def parse_optimizer(config_optim: dict) -> optax.GradientTransformation:
         # the reference couples BOTH lr_decay and weight_decay to the config's
         # weight_decay (parser.py:21-25); torch Adagrad's effective rate is
         # lr / (1 + (step-1) * lr_decay), reproduced here as a schedule
-        # (first update: count=0 -> lr)
-        inner = optax.scale_by_rss(initial_accumulator_value=0.0, eps=1e-10)
+        # (first update: count=0 -> lr). NOTE: optax.scale_by_rss puts eps
+        # INSIDE the sqrt (rsqrt(nu + eps)); torch Adagrad divides by
+        # (sqrt(nu) + eps) — a ~1e-4-relative trajectory drift at small
+        # gradients (test_train_parity caught it), so the torch form is
+        # implemented directly.
+        inner = _scale_by_rss_torch(eps=1e-10)
         parts = []
         if wd:
             parts.append(optax.add_decayed_weights(wd))

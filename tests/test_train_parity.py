@@ -223,6 +223,187 @@ def test_adam_trajectory_matches_torch():
     _assert_final_params_close(fp, twin, tol=5e-5)
 
 
+class TorchHetRGCNTwin(torch.nn.Module):
+    """Reference-style HeteroRGCN (/root/reference/models/HetRGCN.py:13-125)
+    in dense torch: explicit per-type adapt Linears + gelu, per-layer
+    per-type sum readout -> per-type Linear heads accumulated into hg, and
+    the HeteroRGCNLayer 'mean of W_r(h_src) over canonical relations
+    PRESENT in the batched graph' update (types with no present source
+    relation keep their features). Parameters are initialised from the flax
+    tree (same [T,D,H]/[R,H,H] blocks, x @ W orientation) so both sides
+    start identically; relation id = esign*T*T + src*T + dst, matching
+    TypedGraph.edge_rel."""
+
+    def __init__(self, fp, n_types, n_layers):
+        super().__init__()
+        self.T, self.L = n_types, n_layers
+        p = lambda a: torch.nn.Parameter(
+            torch.from_numpy(np.asarray(a).copy())
+        )
+        self.adapt_k = p(fp["adapt_ws"]["kernel"])  # [T, D, H]
+        self.adapt_b = p(fp["adapt_ws"]["bias"])
+        self.pred_k = torch.nn.ParameterList(
+            [p(fp[f"pred_{i}"]["kernel"]) for i in range(n_layers)]
+        )
+        self.pred_b = torch.nn.ParameterList(
+            [p(fp[f"pred_{i}"]["bias"]) for i in range(n_layers)]
+        )
+        self.lay_k = torch.nn.ParameterList(
+            [p(fp[f"layer_{i}"]["kernel"]) for i in range(n_layers)]
+        )
+        self.lay_b = torch.nn.ParameterList(
+            [p(fp[f"layer_{i}"]["bias"]) for i in range(n_layers)]
+        )
+
+    def forward(self, feat, ntype, gid, n_graphs, present):
+        T = self.T
+        n, hdim = feat.shape[0], self.adapt_k.shape[-1]
+        h = feat.new_zeros(n, hdim)
+        for k in range(T):
+            idx = ntype == k
+            if idx.any():
+                h[idx] = feat[idx] @ self.adapt_k[k] + self.adapt_b[k]
+        h = torch.nn.functional.gelu(h)
+
+        hg = feat.new_zeros(n_graphs, self.pred_k[0].shape[-1])
+        for i in range(self.L):
+            for k in range(T):
+                if not (ntype == k).any():  # batch-level type occupancy
+                    continue
+                pooled = feat.new_zeros(n_graphs, hdim)
+                for b in range(n_graphs):
+                    sel = (gid == b) & (ntype == k)
+                    if sel.any():
+                        pooled[b] = h[sel].sum(0)
+                hg = hg + pooled @ self.pred_k[i][k] + self.pred_b[i][k]
+            # HeteroRGCNLayer: mean of W_r(h_srctype) over present relations
+            out = h.clone()
+            for s in range(T):
+                rels = [r for r in range(2 * T * T)
+                        if (r // T) % T == s and present[r]]
+                idx = ntype == s
+                if rels and idx.any():
+                    whs = [h[idx] @ self.lay_k[i][r] + self.lay_b[i][r]
+                           for r in rels]
+                    out[idx] = torch.stack(whs).mean(0)
+            h = out
+        return hg
+
+
+def test_hetrgcn_trajectory_matches_torch():
+    """Extends lockstep trajectory parity to the heterogeneous family:
+    typed projections, relation-presence means, per-(graph, type) readouts
+    and type-occupancy masking all under grad vs torch autograd + Adam."""
+    from wsi_hgnn_tpu.models import HetRGCN
+
+    T = 3
+    rng = np.random.RandomState(7)
+    gs, dense = [], []
+    for n, e in ((9, 14), (6, 10)):
+        feat = rng.randn(n, D_IN).astype(np.float32)
+        src = rng.randint(0, n, e).astype(np.int32)
+        dst = rng.randint(0, n, e).astype(np.int32)
+        ntype = rng.randint(0, T, n).astype(np.int32)
+        esign = rng.randint(0, 2, e).astype(np.int32)
+        g = from_arrays(
+            feat, src, dst, node_type=ntype, esign=esign,
+            sim=np.zeros(e, np.float32), n_node_types=T,
+            node_capacity=n + 3, edge_capacity=e + 4,
+        )
+        gs.append(g)
+        dense.append((feat, src, dst, ntype, esign))
+    gb = batch_graphs(gs)
+
+    # canonical-relation presence of the batched graph (>=1 real edge)
+    present = np.zeros(2 * T * T, bool)
+    for feat, src, dst, ntype, esign in dense:
+        for s, d, z in zip(src, dst, esign):
+            present[z * T * T + ntype[s] * T + ntype[d]] = True
+    assert not present.all(), "fixture must leave some relations absent"
+
+    labels = np.array([1, 0], np.int64)
+    weights = np.ones(2, np.float32)
+    model = HetRGCN(
+        in_dim=D_IN, hidden_dim=HIDDEN, out_dim=N_CLS, n_layers=N_LAYERS,
+        n_node_types=T, graph_pooling_type="sum",
+    )
+    params = model.init(jax.random.PRNGKey(5), gb, train=False)["params"]
+    init = jax.tree.map(np.asarray, params)
+
+    tx = parse_optimizer({"opt_method": "Adam", "lr": 1e-3,
+                          "weight_decay": 5e-3})
+    loss_fcn = parse_loss({"loss": "CE"})
+    jl, jw = jnp.asarray(labels), jnp.asarray(weights)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, gb, train=True)
+            return loss_fcn(logits, jl, jw)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    opt_state = tx.init(params)
+    j_losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state)
+        j_losses.append(float(loss))
+
+    twin = TorchHetRGCNTwin(init, T, N_LAYERS)
+    opt = torch.optim.Adam(twin.parameters(), lr=1e-3, weight_decay=5e-3)
+    tfeat = torch.from_numpy(np.concatenate([d[0] for d in dense]))
+    tntype = torch.from_numpy(np.concatenate([d[3] for d in dense]).astype(np.int64))
+    tgid = torch.from_numpy(np.concatenate(
+        [np.full(d[0].shape[0], i) for i, d in enumerate(dense)]
+    ).astype(np.int64))
+    tl = torch.from_numpy(labels)
+    t_losses = []
+    for _ in range(30):
+        opt.zero_grad()
+        logits = twin(tfeat, tntype, tgid, 2, present)
+        loss = torch.nn.functional.cross_entropy(logits, tl)
+        loss.backward()
+        opt.step()
+        t_losses.append(float(loss.detach()))
+
+    j, t = np.array(j_losses), np.array(t_losses)
+    assert j[-1] < j[0] - 1e-3, f"no learning signal: {j[0]} -> {j[-1]}"
+    np.testing.assert_allclose(j, t, atol=5e-5, rtol=1e-4)
+    fp = jax.tree.map(np.asarray, params)
+    with torch.no_grad():
+        # layer_{L-1} is DEAD in the reference: its output h is computed
+        # after the last readout and never used (HetRGCN.py:106-116), so
+        # torch autograd leaves its grad None and torch.optim SKIPS it
+        # entirely (not even weight decay); optax decays every leaf. The
+        # divergence is confined to parameters that can never reach the
+        # logits — assert exactly that split.
+        for i in range(N_LAYERS - 1):
+            np.testing.assert_allclose(
+                fp[f"layer_{i}"]["kernel"], twin.lay_k[i].numpy(),
+                atol=5e-5, rtol=0, err_msg=f"layer_{i} kernel diverged",
+            )
+        last = N_LAYERS - 1
+        np.testing.assert_array_equal(
+            twin.lay_k[last].numpy(), init[f"layer_{last}"]["kernel"],
+            err_msg="torch must leave the dead last layer frozen",
+        )
+        assert not np.allclose(
+            fp[f"layer_{last}"]["kernel"], init[f"layer_{last}"]["kernel"]
+        ), "optax weight decay should have moved the dead layer"
+        for i in range(N_LAYERS):
+            np.testing.assert_allclose(
+                fp[f"pred_{i}"]["kernel"], twin.pred_k[i].numpy(),
+                atol=5e-5, rtol=0, err_msg=f"pred_{i} kernel diverged",
+            )
+        np.testing.assert_allclose(
+            fp["adapt_ws"]["kernel"], twin.adapt_k.numpy(),
+            atol=5e-5, rtol=0, err_msg="adapt_ws kernel diverged",
+        )
+
+
 def test_adagrad_trajectory_matches_torch():
     """The reference's Adagrad couples lr_decay to weight_decay
     (parser.py:21-25); the per-update schedule is already unit-tested

@@ -223,6 +223,167 @@ def test_adam_trajectory_matches_torch():
     _assert_final_params_close(fp, twin, tol=5e-5)
 
 
+class TorchGATTwin(torch.nn.Module):
+    """Reference-style GAT (/root/reference/models/GAT.py:18-93) in dense
+    torch: n_layers+1 DGL-semantics GATConv layers (z = hW, additive
+    attention leaky_relu(el[src]+er[dst], 0.2), per-DST softmax over
+    in-edges, + per-head bias), flattened heads with F.leaky_relu between
+    layers, per-layer mean readout -> Linear heads averaged. Initialised
+    from the flax tree; exercises the segment-softmax GRADIENT against
+    torch autograd."""
+
+    def __init__(self, fp, n_layers, heads):
+        super().__init__()
+        self.L, self.heads = n_layers, heads
+        p = lambda a: torch.nn.Parameter(
+            torch.from_numpy(np.asarray(a).copy())
+        )
+        self.fc = torch.nn.ParameterList(
+            [p(fp[f"gat_{i}"]["fc"]["kernel"]) for i in range(n_layers + 1)]
+        )
+        self.attn_l = torch.nn.ParameterList(
+            [p(fp[f"gat_{i}"]["attn_l"]) for i in range(n_layers + 1)]
+        )
+        self.attn_r = torch.nn.ParameterList(
+            [p(fp[f"gat_{i}"]["attn_r"]) for i in range(n_layers + 1)]
+        )
+        self.bias = torch.nn.ParameterList(
+            [p(fp[f"gat_{i}"]["bias"]) for i in range(n_layers + 1)]
+        )
+        self.pred_k = torch.nn.ParameterList(
+            [p(fp[f"pred_{i}"]["kernel"]) for i in range(n_layers + 1)]
+        )
+        self.pred_b = torch.nn.ParameterList(
+            [p(fp[f"pred_{i}"]["bias"]) for i in range(n_layers + 1)]
+        )
+
+    def gatconv(self, i, h, src, dst):
+        n = h.shape[0]
+        n_h = self.heads[i]
+        z = (h @ self.fc[i]).reshape(n, n_h, -1)
+        el = (z * self.attn_l[i]).sum(-1)  # [N, H]
+        er = (z * self.attn_r[i]).sum(-1)
+        e = torch.nn.functional.leaky_relu(el[src] + er[dst], 0.2)
+        alpha = torch.zeros_like(e)
+        for d in range(n):
+            sel = dst == d
+            if sel.any():
+                alpha[sel] = torch.softmax(e[sel], dim=0)
+        out = torch.zeros_like(z)
+        out = out.index_add(0, dst, alpha[:, :, None] * z[src])
+        return out + self.bias[i]
+
+    def forward(self, feat, src, dst, pool):
+        h = feat
+        outs = []
+        for i in range(self.L + 1):
+            outs.append(pool @ h @ self.pred_k[i] + self.pred_b[i])
+            h = self.gatconv(i, h, src, dst).flatten(1)
+            if i != self.L:
+                h = torch.nn.functional.leaky_relu(h, 0.01)
+        return torch.stack(outs).mean(0)
+
+
+def test_gat_trajectory_matches_torch():
+    """Attention-path trajectory parity: the per-dst segment softmax and
+    its gradient (plain autodiff in graph/ops.py) match torch autograd
+    through 30 lockstep Adam steps."""
+    from wsi_hgnn_tpu.models import GAT
+
+    gh, dense = _two_graph_batch(seed=4)
+    labels = np.array([0, 1], np.int64)
+    weights = np.ones(2, np.float32)
+    heads = (2, 2, 1)
+    model = GAT(
+        n_layers=N_LAYERS, in_dim=D_IN, hidden_dim=HIDDEN, out_dim=N_CLS,
+        heads=heads, feat_drop=0.0, attn_drop=0.0,
+        graph_pooling_type="mean",
+    )
+    params = model.init(jax.random.PRNGKey(9), gh, train=False)["params"]
+    init = jax.tree.map(np.asarray, params)
+
+    tx = parse_optimizer({"opt_method": "Adam", "lr": 1e-3,
+                          "weight_decay": 5e-3})
+    loss_fcn = parse_loss({"loss": "CE"})
+    jl, jw = jnp.asarray(labels), jnp.asarray(weights)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, gh, train=False)
+            return loss_fcn(logits, jl, jw)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    opt_state = tx.init(params)
+    j_losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state)
+        j_losses.append(float(loss))
+
+    # block-diagonal dense inputs with the dataset's self-loops
+    sizes = [f.shape[0] for f, _, _ in dense]
+    n_tot = sum(sizes)
+    feat = np.concatenate([f for f, _, _ in dense])
+    srcs, dsts, off = [], [], 0
+    for f, src, dst in dense:
+        n = f.shape[0]
+        srcs += [src + off, np.arange(n) + off]
+        dsts += [dst + off, np.arange(n) + off]
+        off += n
+    src = torch.from_numpy(np.concatenate(srcs).astype(np.int64))
+    dst = torch.from_numpy(np.concatenate(dsts).astype(np.int64))
+    pool = np.zeros((len(sizes), n_tot), np.float32)
+    off = 0
+    for gi, n in enumerate(sizes):
+        pool[gi, off : off + n] = 1.0 / n
+        off += n
+
+    twin = TorchGATTwin(init, N_LAYERS, heads)
+    opt = torch.optim.Adam(twin.parameters(), lr=1e-3, weight_decay=5e-3)
+    tfeat = torch.from_numpy(feat)
+    tpool = torch.from_numpy(pool)
+    tl = torch.from_numpy(labels)
+    t_losses = []
+    for _ in range(30):
+        opt.zero_grad()
+        logits = twin(tfeat, src, dst, tpool)
+        loss = torch.nn.functional.cross_entropy(logits, tl)
+        loss.backward()
+        opt.step()
+        t_losses.append(float(loss.detach()))
+
+    j, t = np.array(j_losses), np.array(t_losses)
+    assert j[-1] < j[0] - 1e-3, f"no learning signal: {j[0]} -> {j[-1]}"
+    np.testing.assert_allclose(j, t, atol=1e-4, rtol=3e-4)
+    fp = jax.tree.map(np.asarray, params)
+    with torch.no_grad():
+        # like HetRGCN, the LAST GATConv is dead in the reference (readout
+        # precedes each layer; GAT.py:84-92) — torch freezes it, optax
+        # weight-decays it; live layers must match.
+        for i in range(N_LAYERS):
+            np.testing.assert_allclose(
+                fp[f"gat_{i}"]["fc"]["kernel"], twin.fc[i].numpy(),
+                atol=1e-4, rtol=0, err_msg=f"gat_{i} fc diverged",
+            )
+            np.testing.assert_allclose(
+                fp[f"gat_{i}"]["attn_l"], twin.attn_l[i].numpy(),
+                atol=1e-4, rtol=0, err_msg=f"gat_{i} attn_l diverged",
+            )
+        np.testing.assert_array_equal(
+            twin.fc[N_LAYERS].numpy(), init[f"gat_{N_LAYERS}"]["fc"]["kernel"],
+            err_msg="torch must leave the dead last GATConv frozen",
+        )
+        for i in range(N_LAYERS + 1):
+            np.testing.assert_allclose(
+                fp[f"pred_{i}"]["kernel"], twin.pred_k[i].numpy(),
+                atol=1e-4, rtol=0, err_msg=f"pred_{i} kernel diverged",
+            )
+
+
 class TorchHetRGCNTwin(torch.nn.Module):
     """Reference-style HeteroRGCN (/root/reference/models/HetRGCN.py:13-125)
     in dense torch: explicit per-type adapt Linears + gelu, per-layer

@@ -565,6 +565,521 @@ def test_hetrgcn_trajectory_matches_torch():
         )
 
 
+class TorchHEAT4Twin(torch.nn.Module):
+    """The paper's flagship HEAT (/root/reference/models/HEATNet4.py:141-247)
+    re-stated in dense torch: per-type adapt Linears (NO activation — unlike
+    HGT/HetRGCN, HEAT4 projects raw features, :198-206), HEATLayer stacks
+    with per-type K/Q/V/A Linears, e_linear(sim) scaling the attention
+    logits before a per-(dst, canonical-relation) softmax (:103-113),
+    cross_reducer='mean' over present relations targeting each dst TYPE
+    (:118-119), sigmoid(skip)-gated residual with the KeyError
+    keep-features fallback (:128-136); then per-(graph, type) mean readout
+    -> per-type 256-d heads, LinearAttentionBlock gating (identity under
+    normalize_attn=True on [B, C] inputs — softmax over a singleton axis,
+    :30-37) and the head_2/head_1/head MLP (:242-245). Initialised from the
+    flax tree so both stacks start at the same point."""
+
+    def __init__(self, fp, n_types, n_layers, n_heads):
+        super().__init__()
+        self.T, self.L, self.heads = n_types, n_layers, n_heads
+        p = lambda a: torch.nn.Parameter(
+            torch.from_numpy(np.asarray(a).copy())
+        )
+        self.adapt_k = p(fp["adapt_ws"]["kernel"])  # [T, D, H]
+        self.adapt_b = p(fp["adapt_ws"]["bias"])
+        names = ("k_linears", "q_linears", "v_linears", "a_linears")
+        self.kqva_k = torch.nn.ParameterList()
+        self.kqva_b = torch.nn.ParameterList()
+        self.e_k = torch.nn.ParameterList()
+        self.e_b = torch.nn.ParameterList()
+        self.skip = torch.nn.ParameterList()
+        for i in range(n_layers):
+            lp = fp[f"gcs_{i}"]
+            for nm in names:
+                self.kqva_k.append(p(lp[nm]["kernel"]))  # [T, H, H]
+                self.kqva_b.append(p(lp[nm]["bias"]))
+            self.e_k.append(p(lp["e_linear"]["kernel"]))  # [1, 1]
+            self.e_b.append(p(lp["e_linear"]["bias"]))
+            self.skip.append(p(lp["skip"]))
+        self.pred_k = p(fp["linears_prediction"]["kernel"])  # [T, H, 256]
+        self.pred_b = p(fp["linears_prediction"]["bias"])
+        self.attn_op = torch.nn.ParameterList(
+            [p(fp[f"attn_{k}"]["op"]["kernel"]) for k in range(n_types)]
+        )
+        self.h2_k, self.h2_b = p(fp["head_2"]["kernel"]), p(fp["head_2"]["bias"])
+        self.h1_k, self.h1_b = p(fp["head_1"]["kernel"]), p(fp["head_1"]["bias"])
+        self.hd_k, self.hd_b = p(fp["head"]["kernel"]), p(fp["head"]["bias"])
+
+    def _typed(self, x, ntype, kern, bias):
+        out = x.new_zeros(x.shape[0], kern.shape[-1])
+        for t in range(self.T):
+            idx = ntype == t
+            if idx.any():
+                out[idx] = x[idx] @ kern[t] + bias[t]
+        return out
+
+    def forward(self, feat, ntype, gid, src, dst, esign, sim, n_graphs,
+                dst_denom, type_present):
+        import math as _math
+
+        T, n_h = self.T, self.heads
+        n, hdim = feat.shape[0], self.adapt_k.shape[-1]
+        d_k = hdim // n_h
+        h = self._typed(feat, ntype, self.adapt_k, self.adapt_b)
+
+        for i in range(self.L):
+            kk, qk, vk, ak = self.kqva_k[4 * i : 4 * i + 4]
+            kb, qb, vb, ab = self.kqva_b[4 * i : 4 * i + 4]
+            k = self._typed(h, ntype, kk, kb).view(n, n_h, d_k)
+            q = self._typed(h, ntype, qk, qb).view(n, n_h, d_k)
+            v = self._typed(h, ntype, vk, vb).view(n, n_h, d_k)
+            ea = sim[:, None] @ self.e_k[i] + self.e_b[i]  # [E, 1]
+            score = (q[dst] * k[src]).sum(-1) * ea / _math.sqrt(d_k)  # [E, H]
+            # edge_softmax runs per relation SUBGRAPH, per dst node
+            # (HEATNet4.py:113); dst pins dst_type, so the group key is
+            # (dst, esign, src_type)
+            key = dst * (2 * T) + esign * T + ntype[src]
+            alpha = torch.zeros_like(score)
+            for kv in key.unique():
+                sel = key == kv
+                alpha[sel] = torch.softmax(score[sel], dim=0)
+            agg = torch.zeros_like(v)
+            agg = agg.index_add(0, dst, alpha[:, :, None] * v[src])
+            t_agg = agg.reshape(n, hdim) / dst_denom.clamp(min=1.0)[ntype][:, None]
+            trans = self._typed(t_agg, ntype, ak, ab)
+            a_skip = torch.sigmoid(self.skip[i])[ntype][:, None]
+            mixed = trans * a_skip + h * (1.0 - a_skip)
+            h = torch.where((dst_denom > 0)[ntype][:, None], mixed, h)
+
+        pooled = feat.new_zeros(n_graphs, T, hdim)
+        for b in range(n_graphs):
+            for t in range(T):
+                sel = (gid == b) & (ntype == t)
+                if sel.any():
+                    pooled[b, t] = h[sel].mean(0)
+        out_h = torch.einsum("btd,tdo->bto", pooled, self.pred_k) + self.pred_b
+        out_h = out_h * type_present[None, :, None]
+        hg = out_h.sum(1)
+        gated = []
+        for t in range(T):
+            if bool(type_present[t]):
+                l = out_h[:, t]
+                c = (l + hg) @ self.attn_op[t]  # [B, 1]
+                a = torch.softmax(c[:, :, None], dim=2)[:, :, 0]  # singleton
+                gated.append(a * l)
+            else:
+                gated.append(torch.zeros_like(out_h[:, t]))
+        g = torch.cat(gated, 1)
+        g = g @ self.h2_k + self.h2_b
+        g = g @ self.h1_k + self.h1_b
+        return g @ self.hd_k + self.hd_b
+
+
+def test_heat4_trajectory_matches_torch():
+    """Flagship-model trajectory parity: the HEAT attention path (sim-gated
+    logits -> per-(dst, relation) segment softmax -> cross-reducer mean ->
+    sigmoid-skip mix) and the LinearAttentionBlock/head stack train in
+    lockstep with torch autograd + Adam for 30 steps. Every HEAT4 parameter
+    is LIVE (the readout follows the last layer, unlike GAT/HetRGCN), so
+    final-parameter agreement is asserted across the whole tree — including
+    the attention gate, which receives exactly zero gradient on both sides
+    and moves only by weight decay."""
+    from wsi_hgnn_tpu.models import HEATNet4
+
+    T = 3
+    rng = np.random.RandomState(11)
+    gs, dense = [], []
+    for n, e in ((9, 16), (6, 11)):
+        feat = rng.randn(n, D_IN).astype(np.float32)
+        src = rng.randint(0, n, e).astype(np.int32)
+        dst = rng.randint(0, n, e).astype(np.int32)
+        ntype = rng.randint(0, T, n).astype(np.int32)
+        sim = rng.uniform(-1.0, 1.0, e).astype(np.float32)
+        esign = (sim > 0).astype(np.int32)  # the constructor's edge typing
+        g = from_arrays(
+            feat, src, dst, node_type=ntype, esign=esign, sim=sim,
+            n_node_types=T, node_capacity=n + 3, edge_capacity=e + 4,
+        )
+        gs.append(g)
+        dense.append((feat, src, dst, ntype, esign, sim))
+    gb = batch_graphs(gs)
+
+    # relation presence / per-type cross-reducer denominators of the BATCH
+    present = np.zeros(2 * T * T, bool)
+    for feat, src, dst, ntype, esign, _ in dense:
+        for s, d, z in zip(src, dst, esign):
+            present[z * T * T + ntype[s] * T + ntype[d]] = True
+    assert not present.all(), "fixture must leave some relations absent"
+    dst_denom = np.zeros(T, np.float32)
+    for r in np.nonzero(present)[0]:
+        dst_denom[r % T] += 1.0
+    all_types = np.concatenate([d[3] for d in dense])
+    type_present = np.array([(all_types == t).any() for t in range(T)],
+                            np.float32)
+    assert type_present.all(), "fixture should exercise every type head"
+
+    labels = np.array([1, 0], np.int64)
+    weights = np.ones(2, np.float32)
+    model = HEATNet4(
+        in_dim=D_IN, hidden_dim=HIDDEN, out_dim=N_CLS, n_layers=N_LAYERS,
+        n_heads=2, n_node_types=T, dropout=0.0, graph_pooling_type="mean",
+        embed_dim=16,
+    )
+    params = model.init(jax.random.PRNGKey(13), gb, train=False)["params"]
+    init = jax.tree.map(np.asarray, params)
+
+    tx = parse_optimizer({"opt_method": "Adam", "lr": 1e-3,
+                          "weight_decay": 5e-3})
+    loss_fcn = parse_loss({"loss": "CE"})
+    jl, jw = jnp.asarray(labels), jnp.asarray(weights)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, gb, train=True)
+            return loss_fcn(logits, jl, jw)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    opt_state = tx.init(params)
+    j_losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state)
+        j_losses.append(float(loss))
+
+    twin = TorchHEAT4Twin(init, T, N_LAYERS, n_heads=2)
+    opt = torch.optim.Adam(twin.parameters(), lr=1e-3, weight_decay=5e-3)
+    tfeat = torch.from_numpy(np.concatenate([d[0] for d in dense]))
+    tntype = torch.from_numpy(
+        np.concatenate([d[3] for d in dense]).astype(np.int64))
+    tgid = torch.from_numpy(np.concatenate(
+        [np.full(d[0].shape[0], i) for i, d in enumerate(dense)]
+    ).astype(np.int64))
+    offs = np.cumsum([0] + [d[0].shape[0] for d in dense])
+    tsrc = torch.from_numpy(np.concatenate(
+        [d[1] + offs[i] for i, d in enumerate(dense)]).astype(np.int64))
+    tdst = torch.from_numpy(np.concatenate(
+        [d[2] + offs[i] for i, d in enumerate(dense)]).astype(np.int64))
+    tesign = torch.from_numpy(
+        np.concatenate([d[4] for d in dense]).astype(np.int64))
+    tsim = torch.from_numpy(np.concatenate([d[5] for d in dense]))
+    tdenom = torch.from_numpy(dst_denom)
+    tpres = torch.from_numpy(type_present)
+    tl = torch.from_numpy(labels)
+    t_losses = []
+    for _ in range(30):
+        opt.zero_grad()
+        logits = twin(tfeat, tntype, tgid, tsrc, tdst, tesign, tsim, 2,
+                      tdenom, tpres)
+        loss = torch.nn.functional.cross_entropy(logits, tl)
+        loss.backward()
+        opt.step()
+        t_losses.append(float(loss.detach()))
+
+    j, t = np.array(j_losses), np.array(t_losses)
+    assert j[-1] < j[0] - 1e-3, f"no learning signal: {j[0]} -> {j[-1]}"
+    np.testing.assert_allclose(j, t, atol=1e-4, rtol=3e-4)
+
+    fp = jax.tree.map(np.asarray, params)
+    with torch.no_grad():
+        np.testing.assert_allclose(
+            fp["adapt_ws"]["kernel"], twin.adapt_k.numpy(), atol=1e-4,
+            rtol=0, err_msg="adapt_ws kernel diverged")
+        names = ("k_linears", "q_linears", "v_linears", "a_linears")
+        for i in range(N_LAYERS):
+            for j_n, nm in enumerate(names):
+                np.testing.assert_allclose(
+                    fp[f"gcs_{i}"][nm]["kernel"],
+                    twin.kqva_k[4 * i + j_n].numpy(), atol=1e-4, rtol=0,
+                    err_msg=f"gcs_{i}.{nm} kernel diverged")
+            np.testing.assert_allclose(
+                fp[f"gcs_{i}"]["e_linear"]["kernel"],
+                twin.e_k[i].numpy(), atol=1e-4, rtol=0,
+                err_msg=f"gcs_{i}.e_linear diverged")
+            np.testing.assert_allclose(
+                fp[f"gcs_{i}"]["skip"], twin.skip[i].numpy(), atol=1e-4,
+                rtol=0, err_msg=f"gcs_{i}.skip diverged")
+        np.testing.assert_allclose(
+            fp["linears_prediction"]["kernel"], twin.pred_k.numpy(),
+            atol=1e-4, rtol=0, err_msg="linears_prediction diverged")
+        for k in range(T):
+            # zero-gradient gate: both sides move it by weight decay alone
+            np.testing.assert_allclose(
+                fp[f"attn_{k}"]["op"]["kernel"], twin.attn_op[k].numpy(),
+                atol=1e-6, rtol=0, err_msg=f"attn_{k} gate diverged")
+            assert not np.allclose(
+                fp[f"attn_{k}"]["op"]["kernel"],
+                init[f"attn_{k}"]["op"]["kernel"]
+            ), "weight decay should have moved the zero-grad gate"
+        for nm, tk in (("head_2", twin.h2_k), ("head_1", twin.h1_k),
+                       ("head", twin.hd_k)):
+            np.testing.assert_allclose(
+                fp[nm]["kernel"], tk.numpy(), atol=1e-4, rtol=0,
+                err_msg=f"{nm} kernel diverged")
+
+
+class TorchHGTTwin(torch.nn.Module):
+    """Reference HGT (/root/reference/models/HGT.py:21-209) in dense torch:
+    gelu'd per-type adapt Linears (:180), HGTLayer with per-type K/Q/V/A
+    Linears, per-relation `relation_att`/`relation_msg` K/V transforms and
+    `relation_pri` scaling (:88-100), per-(dst, canonical-relation)
+    edge_softmax(norm_by='dst') (:101), cross_reducer='mean' over present
+    relations targeting each dst type (:105-106), sigmoid(skip) residual and
+    per-type LayerNorm (:115-124); per-LAYER per-type mean readout -> Linear
+    heads summed BEFORE each layer update (:188-199), which leaves the final
+    HGTLayer dead (its output is never read — mirroring GAT/HetRGCN).
+    Relation id = esign*T*T + src*T + dst, matching TypedGraph.edge_rel."""
+
+    def __init__(self, fp, n_types, n_layers, n_heads):
+        super().__init__()
+        self.T, self.L, self.heads = n_types, n_layers, n_heads
+        p = lambda a: torch.nn.Parameter(
+            torch.from_numpy(np.asarray(a).copy())
+        )
+        self.adapt_k = p(fp["adapt_ws"]["kernel"])
+        self.adapt_b = p(fp["adapt_ws"]["bias"])
+        self.pred_k = torch.nn.ParameterList(
+            [p(fp[f"pred_{i}"]["kernel"]) for i in range(n_layers)]
+        )
+        self.pred_b = torch.nn.ParameterList(
+            [p(fp[f"pred_{i}"]["bias"]) for i in range(n_layers)]
+        )
+        names = ("k_linears", "q_linears", "v_linears", "a_linears")
+        self.kqva_k = torch.nn.ParameterList()
+        self.kqva_b = torch.nn.ParameterList()
+        self.rel_att = torch.nn.ParameterList()
+        self.rel_msg = torch.nn.ParameterList()
+        self.rel_pri = torch.nn.ParameterList()
+        self.skip = torch.nn.ParameterList()
+        self.norm_s = torch.nn.ParameterList()
+        self.norm_b = torch.nn.ParameterList()
+        for i in range(n_layers):
+            lp = fp[f"gcs_{i}"]
+            for nm in names:
+                self.kqva_k.append(p(lp[nm]["kernel"]))
+                self.kqva_b.append(p(lp[nm]["bias"]))
+            self.rel_att.append(p(lp["relation_att"]))  # [R, H, dk, dk]
+            self.rel_msg.append(p(lp["relation_msg"]))
+            self.rel_pri.append(p(lp["relation_pri"]))  # [R, H]
+            self.skip.append(p(lp["skip"]))
+            self.norm_s.append(p(lp["norms"]["scale"]))  # [T, H*dk]
+            self.norm_b.append(p(lp["norms"]["bias"]))
+
+    def _typed(self, x, ntype, kern, bias):
+        out = x.new_zeros(x.shape[0], kern.shape[-1])
+        for t in range(self.T):
+            idx = ntype == t
+            if idx.any():
+                out[idx] = x[idx] @ kern[t] + bias[t]
+        return out
+
+    def forward(self, feat, ntype, gid, src, dst, esign, n_graphs,
+                dst_denom, type_present):
+        import math as _math
+
+        T, n_h = self.T, self.heads
+        n, hdim = feat.shape[0], self.adapt_k.shape[-1]
+        d_k = hdim // n_h
+        h = torch.nn.functional.gelu(
+            self._typed(feat, ntype, self.adapt_k, self.adapt_b)
+        )
+        rel = esign * T * T + ntype[src] * T + ntype[dst]  # edge_rel ids
+
+        hg = feat.new_zeros(n_graphs, self.pred_k[0].shape[-1])
+        for i in range(self.L):
+            # per-layer readout BEFORE the update (HGT.py:188-199)
+            pooled = feat.new_zeros(n_graphs, T, hdim)
+            for b in range(n_graphs):
+                for t in range(T):
+                    sel = (gid == b) & (ntype == t)
+                    if sel.any():
+                        pooled[b, t] = h[sel].mean(0)
+            heads = (
+                torch.einsum("btd,tdo->bto", pooled, self.pred_k[i])
+                + self.pred_b[i]
+            )
+            hg = hg + (heads * type_present[None, :, None]).sum(1)
+
+            kk, qk, vk, ak = self.kqva_k[4 * i : 4 * i + 4]
+            kb, qb, vb, ab = self.kqva_b[4 * i : 4 * i + 4]
+            k = self._typed(h, ntype, kk, kb).view(n, n_h, d_k)
+            q = self._typed(h, ntype, qk, qb).view(n, n_h, d_k)
+            v = self._typed(h, ntype, vk, vb).view(n, n_h, d_k)
+            # per-edge relation transforms (HGT.py:92-93 applies them per
+            # relation subgraph; gathering per edge is equivalent)
+            k_e = torch.einsum("ehd,ehdf->ehf", k[src], self.rel_att[i][rel])
+            v_e = torch.einsum("ehd,ehdf->ehf", v[src], self.rel_msg[i][rel])
+            score = (
+                (q[dst] * k_e).sum(-1) * self.rel_pri[i][rel]
+                / _math.sqrt(d_k)
+            )
+            key = dst * (2 * T) + esign * T + ntype[src]
+            alpha = torch.zeros_like(score)
+            for kv in key.unique():
+                sel = key == kv
+                alpha[sel] = torch.softmax(score[sel], dim=0)
+            agg = torch.zeros_like(v)
+            agg = agg.index_add(0, dst, alpha[:, :, None] * v_e)
+            t_agg = (
+                agg.reshape(n, hdim)
+                / dst_denom.clamp(min=1.0)[ntype][:, None]
+            )
+            trans = self._typed(t_agg, ntype, ak, ab)
+            a_skip = torch.sigmoid(self.skip[i])[ntype][:, None]
+            mixed = trans * a_skip + h * (1.0 - a_skip)
+            # per-type LayerNorm on updated types only (HGT.py:123-124)
+            mu = mixed.mean(-1, keepdim=True)
+            var = mixed.var(-1, unbiased=False, keepdim=True)
+            normed = (mixed - mu) / torch.sqrt(var + 1e-5)
+            normed = normed * self.norm_s[i][ntype] + self.norm_b[i][ntype]
+            h = torch.where((dst_denom > 0)[ntype][:, None], normed, h)
+        return hg
+
+
+def test_hgt_trajectory_matches_torch():
+    """HGT trajectory parity: relation_att/msg K/V transforms, relation_pri
+    scaling, per-(dst, relation) softmax, cross-reducer mean, skip mix and
+    per-type LayerNorm all train in lockstep with torch autograd + Adam.
+    The final HGTLayer is dead in the reference (readout precedes each
+    update, HGT.py:188-199) — torch leaves it frozen, optax weight-decays
+    it; the split is asserted exactly."""
+    from wsi_hgnn_tpu.models import HGT
+
+    T = 3
+    rng = np.random.RandomState(21)
+    gs, dense = [], []
+    for n, e in ((9, 16), (6, 11)):
+        feat = rng.randn(n, D_IN).astype(np.float32)
+        src = rng.randint(0, n, e).astype(np.int32)
+        dst = rng.randint(0, n, e).astype(np.int32)
+        ntype = rng.randint(0, T, n).astype(np.int32)
+        esign = rng.randint(0, 2, e).astype(np.int32)
+        g = from_arrays(
+            feat, src, dst, node_type=ntype, esign=esign,
+            sim=np.zeros(e, np.float32), n_node_types=T,
+            node_capacity=n + 3, edge_capacity=e + 4,
+        )
+        gs.append(g)
+        dense.append((feat, src, dst, ntype, esign))
+    gb = batch_graphs(gs)
+
+    present = np.zeros(2 * T * T, bool)
+    for feat, src, dst, ntype, esign in dense:
+        for s, d, z in zip(src, dst, esign):
+            present[z * T * T + ntype[s] * T + ntype[d]] = True
+    assert not present.all(), "fixture must leave some relations absent"
+    dst_denom = np.zeros(T, np.float32)
+    for r in np.nonzero(present)[0]:
+        dst_denom[r % T] += 1.0
+    all_types = np.concatenate([d[3] for d in dense])
+    type_present = np.array([(all_types == t).any() for t in range(T)],
+                            np.float32)
+    assert type_present.all(), "fixture should exercise every type head"
+
+    labels = np.array([0, 1], np.int64)
+    weights = np.ones(2, np.float32)
+    model = HGT(
+        in_dim=D_IN, hidden_dim=HIDDEN, out_dim=N_CLS, n_layers=N_LAYERS,
+        n_heads=2, n_node_types=T, use_norm=True, graph_pooling_type="mean",
+    )
+    params = model.init(jax.random.PRNGKey(17), gb, train=False)["params"]
+    init = jax.tree.map(np.asarray, params)
+
+    tx = parse_optimizer({"opt_method": "Adam", "lr": 1e-3,
+                          "weight_decay": 5e-3})
+    loss_fcn = parse_loss({"loss": "CE"})
+    jl, jw = jnp.asarray(labels), jnp.asarray(weights)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            # train=False: dropout off on both sides (HGTLayer defaults 0.2)
+            logits = model.apply({"params": p}, gb, train=False)
+            return loss_fcn(logits, jl, jw)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    opt_state = tx.init(params)
+    j_losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state)
+        j_losses.append(float(loss))
+
+    twin = TorchHGTTwin(init, T, N_LAYERS, n_heads=2)
+    opt = torch.optim.Adam(twin.parameters(), lr=1e-3, weight_decay=5e-3)
+    tfeat = torch.from_numpy(np.concatenate([d[0] for d in dense]))
+    tntype = torch.from_numpy(
+        np.concatenate([d[3] for d in dense]).astype(np.int64))
+    tgid = torch.from_numpy(np.concatenate(
+        [np.full(d[0].shape[0], i) for i, d in enumerate(dense)]
+    ).astype(np.int64))
+    offs = np.cumsum([0] + [d[0].shape[0] for d in dense])
+    tsrc = torch.from_numpy(np.concatenate(
+        [d[1] + offs[i] for i, d in enumerate(dense)]).astype(np.int64))
+    tdst = torch.from_numpy(np.concatenate(
+        [d[2] + offs[i] for i, d in enumerate(dense)]).astype(np.int64))
+    tesign = torch.from_numpy(
+        np.concatenate([d[4] for d in dense]).astype(np.int64))
+    tdenom = torch.from_numpy(dst_denom)
+    tpres = torch.from_numpy(type_present)
+    tl = torch.from_numpy(labels)
+    t_losses = []
+    for _ in range(30):
+        opt.zero_grad()
+        logits = twin(tfeat, tntype, tgid, tsrc, tdst, tesign, 2,
+                      tdenom, tpres)
+        loss = torch.nn.functional.cross_entropy(logits, tl)
+        loss.backward()
+        opt.step()
+        t_losses.append(float(loss.detach()))
+
+    j, t = np.array(j_losses), np.array(t_losses)
+    assert j[-1] < j[0] - 1e-3, f"no learning signal: {j[0]} -> {j[-1]}"
+    np.testing.assert_allclose(j, t, atol=1e-4, rtol=3e-4)
+
+    fp = jax.tree.map(np.asarray, params)
+    names = ("k_linears", "q_linears", "v_linears", "a_linears")
+    with torch.no_grad():
+        np.testing.assert_allclose(
+            fp["adapt_ws"]["kernel"], twin.adapt_k.numpy(), atol=1e-4,
+            rtol=0, err_msg="adapt_ws kernel diverged")
+        for i in range(N_LAYERS):
+            np.testing.assert_allclose(
+                fp[f"pred_{i}"]["kernel"], twin.pred_k[i].numpy(),
+                atol=1e-4, rtol=0, err_msg=f"pred_{i} kernel diverged")
+        # live layers (all but the last) must track torch exactly
+        for i in range(N_LAYERS - 1):
+            for j_n, nm in enumerate(names):
+                np.testing.assert_allclose(
+                    fp[f"gcs_{i}"][nm]["kernel"],
+                    twin.kqva_k[4 * i + j_n].numpy(), atol=1e-4, rtol=0,
+                    err_msg=f"gcs_{i}.{nm} kernel diverged")
+            np.testing.assert_allclose(
+                fp[f"gcs_{i}"]["relation_att"], twin.rel_att[i].numpy(),
+                atol=1e-4, rtol=0, err_msg=f"gcs_{i}.relation_att diverged")
+            np.testing.assert_allclose(
+                fp[f"gcs_{i}"]["relation_pri"], twin.rel_pri[i].numpy(),
+                atol=1e-4, rtol=0, err_msg=f"gcs_{i}.relation_pri diverged")
+            np.testing.assert_allclose(
+                fp[f"gcs_{i}"]["norms"]["scale"], twin.norm_s[i].numpy(),
+                atol=1e-4, rtol=0, err_msg=f"gcs_{i}.norms diverged")
+        # the dead last layer: torch froze it, optax weight-decayed it
+        last = N_LAYERS - 1
+        np.testing.assert_array_equal(
+            twin.rel_att[last].numpy(), init[f"gcs_{last}"]["relation_att"],
+            err_msg="torch must leave the dead last HGTLayer frozen")
+        assert not np.allclose(
+            fp[f"gcs_{last}"]["relation_att"],
+            init[f"gcs_{last}"]["relation_att"]
+        ), "optax weight decay should have moved the dead layer"
+
+
 def test_adagrad_trajectory_matches_torch():
     """The reference's Adagrad couples lr_decay to weight_decay
     (parser.py:21-25); the per-update schedule is already unit-tested

@@ -1080,6 +1080,203 @@ def test_hgt_trajectory_matches_torch():
         ), "optax weight decay should have moved the dead layer"
 
 
+class TorchGINTwin(torch.nn.Module):
+    """Reference GIN (/root/reference/models/GIN.py:76-177) in dense torch:
+    DGL GINConv semantics ((1+eps)h + mean over in-neighbors,
+    dgl GINConv aggregator_type='mean', learn_eps) wrapped in
+    ApplyNodeFunc(MLP) = Linear -> BN -> ReLU -> Linear, then the outer
+    BN -> ReLU (:11-22, :25-73); per-layer SUM-pooled readout -> Linear
+    heads, final classify head, heads summed (:155-177). Uses real
+    torch.nn.BatchNorm1d so the twin exercises torch's exact
+    batch-statistics + running-stat (momentum 0.1, unbiased var) dynamics
+    against MaskedBatchNorm."""
+
+    def __init__(self, fp, bn_hidden, n_gin):
+        super().__init__()
+        self.n_gin = n_gin
+
+        def lin(tree):
+            k = np.asarray(tree["kernel"])
+            layer = torch.nn.Linear(k.shape[0], k.shape[1])
+            with torch.no_grad():
+                layer.weight.copy_(torch.from_numpy(k.T.copy()))
+                layer.bias.copy_(
+                    torch.from_numpy(np.asarray(tree["bias"]).copy())
+                )
+            return layer
+
+        def bn(tree):
+            layer = torch.nn.BatchNorm1d(bn_hidden)
+            with torch.no_grad():
+                layer.weight.copy_(
+                    torch.from_numpy(np.asarray(tree["scale"]).copy())
+                )
+                layer.bias.copy_(
+                    torch.from_numpy(np.asarray(tree["bias"]).copy())
+                )
+            return layer
+
+        self.eps = torch.nn.ParameterList()
+        self.mlp_0, self.mlp_1 = torch.nn.ModuleList(), torch.nn.ModuleList()
+        self.bn_in, self.bn_out = torch.nn.ModuleList(), torch.nn.ModuleList()
+        for i in range(n_gin):
+            gp = fp[f"gin_{i}"]
+            self.eps.append(torch.nn.Parameter(
+                torch.tensor(float(np.asarray(gp["eps"])))
+            ))
+            self.mlp_0.append(lin(gp["mlp"]["linears_0"]))
+            self.mlp_1.append(lin(gp["mlp"]["linears_1"]))
+            self.bn_in.append(bn(gp["mlp"]["bn_0"]))
+            self.bn_out.append(bn(gp["bn"]))
+        self.preds = torch.nn.ModuleList(
+            [lin(fp[f"pred_{i}"]) for i in range(n_gin)]
+        )
+        self.classify = lin(fp["classify"])
+
+    def forward(self, feat, adj_t, in_deg, pool_sum):
+        h = feat
+        outs = []
+        for i in range(self.n_gin):
+            outs.append(self.preds[i](pool_sum @ h))
+            agg = (adj_t @ h) / in_deg[:, None]  # mean over in-neighbors
+            rst = (1.0 + self.eps[i]) * h + agg
+            rst = self.mlp_1[i](
+                torch.relu(self.bn_in[i](self.mlp_0[i](rst)))
+            )
+            h = torch.relu(self.bn_out[i](rst))
+        outs.append(self.classify(pool_sum @ h))
+        return torch.stack(outs).sum(0)
+
+
+def test_gin_trajectory_matches_torch():
+    """GIN trajectory parity — the only family whose TRAINING dynamics
+    include BatchNorm. 25 lockstep Adam steps must agree with torch on the
+    loss trajectory, the final parameters AND the final BN running
+    statistics (masked batch stats over real nodes == torch's all-row stats
+    on the unpadded twin, unbiased running var, momentum 0.1)."""
+    from wsi_hgnn_tpu.models import GIN
+
+    gh, dense = _two_graph_batch(seed=6)
+    labels = np.array([0, 1], np.int64)
+    weights = np.ones(2, np.float32)
+    n_gin = N_LAYERS  # num_layers - 1 GINConvs
+
+    model = GIN(
+        input_dim=D_IN, hidden_dim=HIDDEN, out_dim=N_CLS,
+        num_layers=N_LAYERS + 1, num_mlp_layers=2, final_dropout=0.0,
+        graph_pooling_type="sum", neighbor_pooling_type="mean",
+        learn_eps=True,
+    )
+    variables = model.init(jax.random.PRNGKey(23), gh, train=True)
+    params, bstats = variables["params"], variables["batch_stats"]
+    init = jax.tree.map(np.asarray, params)
+
+    tx = parse_optimizer({"opt_method": "Adam", "lr": 1e-3,
+                          "weight_decay": 5e-3})
+    loss_fcn = parse_loss({"loss": "CE"})
+    jl, jw = jnp.asarray(labels), jnp.asarray(weights)
+
+    # mirrors the trainer's BN threading (trainer.py:271-295)
+    @jax.jit
+    def step(params, bstats, opt_state):
+        def loss_fn(p):
+            logits, new_vars = model.apply(
+                {"params": p, "batch_stats": bstats}, gh, train=True,
+                mutable=["batch_stats"],
+            )
+            return loss_fcn(logits, jl, jw), new_vars["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, new_bs, opt_state, loss
+
+    opt_state = tx.init(params)
+    j_losses = []
+    for _ in range(25):
+        params, bstats, opt_state, loss = step(params, bstats, opt_state)
+        j_losses.append(float(loss))
+
+    # dense torch twin on the unpadded problem
+    sizes = [f.shape[0] for f, _, _ in dense]
+    n_tot = sum(sizes)
+    feat = np.concatenate([f for f, _, _ in dense])
+    adj_t = np.zeros((n_tot, n_tot), np.float32)
+    off = 0
+    for f, src, dst in dense:
+        n = f.shape[0]
+        for s, d in zip(src, dst):
+            adj_t[off + d, off + s] += 1.0
+        adj_t[off : off + n, off : off + n] += np.eye(n, dtype=np.float32)
+        off += n
+    in_deg = np.maximum(adj_t.sum(1), 1.0)
+    pool_sum = np.zeros((len(sizes), n_tot), np.float32)
+    off = 0
+    for gi, n in enumerate(sizes):
+        pool_sum[gi, off : off + n] = 1.0
+        off += n
+
+    twin = TorchGINTwin(init, HIDDEN, n_gin)
+    twin.train()
+    opt = torch.optim.Adam(twin.parameters(), lr=1e-3, weight_decay=5e-3)
+    t = lambda a: torch.from_numpy(np.asarray(a, np.float32))
+    tin = (t(feat), t(adj_t), t(in_deg), t(pool_sum))
+    tl = torch.from_numpy(labels)
+    t_losses = []
+    for _ in range(25):
+        opt.zero_grad()
+        logits = twin(*tin)
+        loss = torch.nn.functional.cross_entropy(logits, tl)
+        loss.backward()
+        opt.step()
+        t_losses.append(float(loss.detach()))
+
+    j, tt = np.array(j_losses), np.array(t_losses)
+    assert j[-1] < j[0] - 1e-3, f"no learning signal: {j[0]} -> {j[-1]}"
+    np.testing.assert_allclose(j, tt, atol=1e-4, rtol=3e-4)
+
+    fp = jax.tree.map(np.asarray, params)
+    fbs = jax.tree.map(np.asarray, bstats)
+    with torch.no_grad():
+        for i in range(n_gin):
+            np.testing.assert_allclose(
+                fp[f"gin_{i}"]["mlp"]["linears_0"]["kernel"],
+                twin.mlp_0[i].weight.numpy().T, atol=1e-4, rtol=0,
+                err_msg=f"gin_{i} mlp linears_0 diverged")
+            np.testing.assert_allclose(
+                np.asarray(fp[f"gin_{i}"]["eps"]),
+                twin.eps[i].numpy(), atol=1e-4, rtol=0,
+                err_msg=f"gin_{i} eps diverged")
+            np.testing.assert_allclose(
+                fp[f"gin_{i}"]["bn"]["scale"],
+                twin.bn_out[i].weight.numpy(), atol=1e-4, rtol=0,
+                err_msg=f"gin_{i} outer BN scale diverged")
+            # running statistics: masked stats over real nodes must equal
+            # torch's stats on the unpadded twin, step for step (3e-4
+            # absorbs float32 EMA drift over 25 steps; a wrong momentum or
+            # a biased running var would diverge by > 1e-1)
+            np.testing.assert_allclose(
+                fbs[f"gin_{i}"]["bn"]["mean"],
+                twin.bn_out[i].running_mean.numpy(), atol=3e-4, rtol=0,
+                err_msg=f"gin_{i} outer BN running_mean diverged")
+            np.testing.assert_allclose(
+                fbs[f"gin_{i}"]["bn"]["var"],
+                twin.bn_out[i].running_var.numpy(), atol=3e-4, rtol=0,
+                err_msg=f"gin_{i} outer BN running_var diverged")
+            np.testing.assert_allclose(
+                fbs[f"gin_{i}"]["mlp"]["bn_0"]["mean"],
+                twin.bn_in[i].running_mean.numpy(), atol=3e-4, rtol=0,
+                err_msg=f"gin_{i} inner BN running_mean diverged")
+        for i in range(n_gin):
+            np.testing.assert_allclose(
+                fp[f"pred_{i}"]["kernel"], twin.preds[i].weight.numpy().T,
+                atol=1e-4, rtol=0, err_msg=f"pred_{i} kernel diverged")
+        np.testing.assert_allclose(
+            fp["classify"]["kernel"], twin.classify.weight.numpy().T,
+            atol=1e-4, rtol=0, err_msg="classify kernel diverged")
+
+
 def test_adagrad_trajectory_matches_torch():
     """The reference's Adagrad couples lr_decay to weight_decay
     (parser.py:21-25); the per-update schedule is already unit-tested

@@ -1277,6 +1277,173 @@ def test_gin_trajectory_matches_torch():
             atol=1e-4, rtol=0, err_msg="classify kernel diverged")
 
 
+class TorchNTPoolTwin(torch.nn.Module):
+    """Reference NTPoolGCN (/root/reference/models/GCN_NTPool.py:16-123) in
+    dense torch: GraphConv(norm='both', activation=relu) stack over the
+    homogeneous view WITH add_self_loop (:90-91), per-layer per-NODE-TYPE
+    mean readouts -> per-type Linear heads (:99-107) summed over
+    (layer, present-type) pairs and divided by the pair count (:110-121).
+    `self.classify`, the (n_layers+1)-th heads and the last conv's output
+    are dead in the reference (the loop never reads them)."""
+
+    def __init__(self, fp, n_types, n_layers):
+        super().__init__()
+        self.T, self.L = n_types, n_layers
+        p = lambda a: torch.nn.Parameter(
+            torch.from_numpy(np.asarray(a).copy())
+        )
+        self.pred_k = torch.nn.ParameterList(
+            [p(fp[f"pred_{i}"]["kernel"]) for i in range(n_layers)]
+        )
+        self.pred_b = torch.nn.ParameterList(
+            [p(fp[f"pred_{i}"]["bias"]) for i in range(n_layers)]
+        )
+        self.conv_w = torch.nn.ParameterList(
+            [p(fp[f"conv_{i}"]["weight"]["kernel"]) for i in range(n_layers)]
+        )
+        self.conv_b = torch.nn.ParameterList(
+            [p(fp[f"conv_{i}"]["bias"]) for i in range(n_layers)]
+        )
+
+    def forward(self, feat, ntype, gid, adj_t, c_src, c_dst, n_graphs,
+                type_present):
+        T = self.T
+        h = feat
+        hg = feat.new_zeros(n_graphs, self.pred_k[0].shape[-1])
+        for i in range(self.L):
+            pooled = feat.new_zeros(n_graphs, T, h.shape[-1])
+            for b in range(n_graphs):
+                for t in range(T):
+                    sel = (gid == b) & (ntype == t)
+                    if sel.any():
+                        pooled[b, t] = h[sel].mean(0)
+            heads = (
+                torch.einsum("btd,tdo->bto", pooled, self.pred_k[i])
+                + self.pred_b[i]
+            )
+            hg = hg + (heads * type_present[None, :, None]).sum(1)
+            msg = (h @ self.conv_w[i]) * c_src[:, None]
+            h = torch.relu((adj_t @ msg) * c_dst[:, None] + self.conv_b[i])
+        return hg / (self.L * type_present.sum())
+
+
+def test_ntpool_trajectory_matches_torch():
+    """NTPoolGCN trajectory parity: GraphConv over the implicit-self-loop
+    homogeneous view composed with per-type readout heads trains in lockstep
+    with torch autograd + Adam; the dead last conv follows the
+    torch-frozen/optax-decayed split."""
+    from wsi_hgnn_tpu.models import NTPoolGCN
+
+    T = 3
+    rng = np.random.RandomState(31)
+    gs, dense = [], []
+    for n, e in ((9, 16), (6, 11)):
+        feat = rng.randn(n, D_IN).astype(np.float32)
+        src = rng.randint(0, n, e).astype(np.int32)
+        dst = rng.randint(0, n, e).astype(np.int32)
+        ntype = rng.randint(0, T, n).astype(np.int32)
+        esign = rng.randint(0, 2, e).astype(np.int32)
+        g = from_arrays(
+            feat, src, dst, node_type=ntype, esign=esign,
+            sim=np.zeros(e, np.float32), n_node_types=T,
+            node_capacity=n + 3, edge_capacity=e + 4,
+        )
+        gs.append(g)
+        dense.append((feat, src, dst, ntype))
+    gb = batch_graphs(gs)
+    all_types = np.concatenate([d[3] for d in dense])
+    type_present = np.array([(all_types == t).any() for t in range(T)],
+                            np.float32)
+    assert type_present.all(), "fixture should exercise every type head"
+
+    labels = np.array([1, 0], np.int64)
+    weights = np.ones(2, np.float32)
+    model = NTPoolGCN(
+        in_dim=D_IN, hidden_dim=HIDDEN, out_dim=N_CLS, n_node_types=T,
+        n_layers=N_LAYERS, dropout=0.0, graph_pooling_type="mean",
+    )
+    params = model.init(jax.random.PRNGKey(29), gb, train=False)["params"]
+    init = jax.tree.map(np.asarray, params)
+
+    tx = parse_optimizer({"opt_method": "Adam", "lr": 1e-3,
+                          "weight_decay": 5e-3})
+    loss_fcn = parse_loss({"loss": "CE"})
+    jl, jw = jnp.asarray(labels), jnp.asarray(weights)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, gb, train=True)
+            return loss_fcn(logits, jl, jw)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    opt_state = tx.init(params)
+    j_losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state)
+        j_losses.append(float(loss))
+
+    # dense inputs: block-diagonal adjacency + add_self_loop + norm='both'
+    sizes = [d[0].shape[0] for d in dense]
+    n_tot = sum(sizes)
+    feat = np.concatenate([d[0] for d in dense])
+    adj_t = np.zeros((n_tot, n_tot), np.float32)
+    off = 0
+    for f, src, dst, _ in dense:
+        n = f.shape[0]
+        for s, d in zip(src, dst):
+            adj_t[off + d, off + s] += 1.0
+        adj_t[off : off + n, off : off + n] += np.eye(n, dtype=np.float32)
+        off += n
+    c_src = np.maximum(adj_t.sum(0), 1.0) ** -0.5
+    c_dst = np.maximum(adj_t.sum(1), 1.0) ** -0.5
+
+    twin = TorchNTPoolTwin(init, T, N_LAYERS)
+    opt = torch.optim.Adam(twin.parameters(), lr=1e-3, weight_decay=5e-3)
+    t = lambda a: torch.from_numpy(np.asarray(a, np.float32))
+    tntype = torch.from_numpy(all_types.astype(np.int64))
+    tgid = torch.from_numpy(np.concatenate(
+        [np.full(s, i) for i, s in enumerate(sizes)]).astype(np.int64))
+    tpres = torch.from_numpy(type_present)
+    tl = torch.from_numpy(labels)
+    t_losses = []
+    for _ in range(30):
+        opt.zero_grad()
+        logits = twin(t(feat), tntype, tgid, t(adj_t), t(c_src), t(c_dst),
+                      2, tpres)
+        loss = torch.nn.functional.cross_entropy(logits, tl)
+        loss.backward()
+        opt.step()
+        t_losses.append(float(loss.detach()))
+
+    j, tt = np.array(j_losses), np.array(t_losses)
+    assert j[-1] < j[0] - 1e-3, f"no learning signal: {j[0]} -> {j[-1]}"
+    np.testing.assert_allclose(j, tt, atol=1e-4, rtol=3e-4)
+
+    fp = jax.tree.map(np.asarray, params)
+    with torch.no_grad():
+        for i in range(N_LAYERS):
+            np.testing.assert_allclose(
+                fp[f"pred_{i}"]["kernel"], twin.pred_k[i].numpy(),
+                atol=1e-4, rtol=0, err_msg=f"pred_{i} kernel diverged")
+        for i in range(N_LAYERS - 1):
+            np.testing.assert_allclose(
+                fp[f"conv_{i}"]["weight"]["kernel"], twin.conv_w[i].numpy(),
+                atol=1e-4, rtol=0, err_msg=f"conv_{i} kernel diverged")
+        last = N_LAYERS - 1
+        np.testing.assert_array_equal(
+            twin.conv_w[last].numpy(), init[f"conv_{last}"]["weight"]["kernel"],
+            err_msg="torch must leave the dead last conv frozen")
+        assert not np.allclose(
+            fp[f"conv_{last}"]["weight"]["kernel"],
+            init[f"conv_{last}"]["weight"]["kernel"]
+        ), "optax weight decay should have moved the dead conv"
+
+
 def test_adagrad_trajectory_matches_torch():
     """The reference's Adagrad couples lr_decay to weight_decay
     (parser.py:21-25); the per-update schedule is already unit-tested

@@ -70,6 +70,46 @@ def make_regular_cohort(tmpdir, n_slides=12, seed=0):
     return train_list, normal_list
 
 
+def make_irregular_cohort(tmpdir, n_slides=8, seed=3, drop=0.15):
+    """HNSW-import-shaped cohort: constructor graphs with a random ~15% of
+    edges REMOVED per slide (the shape imported reference graphs take when
+    HNSW returns fewer than topn neighbours, graph_constructor.py:267-273).
+    Out-degrees vary from 0..k; the masked lattice must still serve it."""
+    rng = np.random.RandomState(seed)
+    paths, normals = [], []
+    for i in range(n_slides):
+        label = i % 2
+        n = rng.randint(20, 40)
+        feat = rng.randn(n, D).astype(np.float32) + label * 1.5
+        ntypes = rng.randint(0, 6, n).astype(np.int32)
+        het, _ = build_graph(feat, ntypes, radius=RADIUS, n_node_types=6)
+        ne = int(np.asarray(het.node_mask).sum())
+        ee = int(np.asarray(het.edge_mask).sum())
+        keep = rng.rand(ee) > drop
+        keep[0] = True  # never empty
+        src = np.asarray(het.src)[:ee][keep]
+        dst = np.asarray(het.dst)[:ee][keep]
+        barcode = f"TCGA-{i:02d}-0000-01Z-00-DX1"
+        p = os.path.join(str(tmpdir), f"{barcode}.npz")
+        save_graph_npz(
+            p, np.asarray(het.feat)[:ne], src, dst,
+            node_type=np.asarray(het.node_type)[:ne],
+            esign=np.asarray(het.esign)[:ee][keep],
+            sim=np.asarray(het.sim)[:ee][keep],
+            n_node_types=6, is_hetero=True,
+        )
+        paths.append(p)
+        if label == 0:
+            normals.append(barcode[:16])
+    train_list = os.path.join(str(tmpdir), "train.txt")
+    with open(train_list, "w") as f:
+        f.write("\n".join(paths))
+    normal_list = os.path.join(str(tmpdir), "normal.txt")
+    with open(normal_list, "w") as f:
+        f.write("\n".join(normals))
+    return train_list, normal_list
+
+
 def test_probe_and_pack_roundtrip(tmp_path):
     train_list, normal_list = make_regular_cohort(tmp_path)
     ds = GraphDataset(train_list, normal_list, "BRCA", "train")
@@ -211,6 +251,142 @@ train:
 eval:
   explainer_name: GemExplainer
 """
+
+
+def test_irregular_probe_and_pack(tmp_path):
+    """Variable out-degrees pack into the masked lattice: the probe returns
+    the dataset-max k, and pack_slide leaves the short rows' tail slots
+    emask=False while every real edge lands at its (src, slot)."""
+    train_list, normal_list = make_irregular_cohort(tmp_path)
+    ds = GraphDataset(train_list, normal_list, "BRCA", "train")
+    probe = probe_lattice(ds)
+    assert probe is not None, "HNSW-shaped irregularity must stay on the fast path"
+    k, cap_n = probe
+    assert k == RADIUS - 1
+
+    g, _ = ds[0]
+    n = int(np.asarray(g.node_mask).sum())
+    e = int(np.asarray(g.edge_mask).sum())
+    assert e < n * k, "fixture must actually be irregular"
+    assert slide_regular_k(g) is None  # irregular, yet lattice-packable
+    feats, ntypes, mask, idx, sim, esign, emask = pack_slide(g, k, cap_n)
+    deg = np.bincount(np.asarray(g.src)[:e], minlength=cap_n)
+    np.testing.assert_array_equal(emask.sum(1), deg)
+    assert emask.sum() == e
+    typed = {(int(s), int(d)): float(v) for s, d, v in
+             zip(np.asarray(g.src)[:e], np.asarray(g.dst)[:e],
+                 np.asarray(g.sim)[:e])}
+    for i in range(n):
+        for j in range(k):
+            if emask[i, j]:
+                assert (i, int(idx[i, j])) in typed
+                assert typed[(i, int(idx[i, j]))] == pytest.approx(sim[i, j])
+
+
+def test_irregular_packed_forward_and_grads_match_typed(tmp_path):
+    """The masked-padding lattice must be numerically indistinguishable
+    from the TypedGraph path on an irregular batch — forward AND gradients
+    (padding slots must not leak into the softmax, the aggregation, or
+    relation presence)."""
+    train_list, normal_list = make_irregular_cohort(tmp_path)
+    ds = GraphDataset(train_list, normal_list, "BRCA", "train")
+    batch = 2
+    k, cap_n = probe_lattice(ds)
+    cap = dataset_capacities(ds, batch)
+    tl = GraphLoader(ds, batch, shuffle=False, node_capacity=cap[0],
+                     edge_capacity=cap[1], prefetch=0)
+    ll = LatticeLoader(ds, batch, k, cap_n, shuffle=False, prefetch=0)
+    gt, yt, _ = tl._make_batch(list(range(batch)))
+    gl, yl, _ = ll._make_batch(list(range(batch)))
+    np.testing.assert_array_equal(yt, yl)
+
+    kw = dict(in_dim=D, hidden_dim=32, out_dim=2, n_layers=2, n_heads=2,
+              n_node_types=6, dropout=0.0)
+    lat = HEATNet2Lattice(**kw)
+    typ = models.HEATNet2(**kw)
+    variables = lat.init(jax.random.PRNGKey(2), gl)
+    out_l = lat.apply(variables, gl, train=False)
+    out_t = typ.apply(variables, gt, train=False)
+    np.testing.assert_allclose(np.asarray(out_l), np.asarray(out_t),
+                               atol=2e-4, rtol=1e-4)
+
+    y = jnp.asarray(yt)
+
+    def loss_of(apply_fn, g):
+        def f(params):
+            logits = apply_fn({"params": params}, g, train=False)
+            lp = jax.nn.log_softmax(logits)
+            return -jnp.take_along_axis(lp, y[:, None], 1).mean()
+        return f
+
+    l_l, g_l = jax.value_and_grad(loss_of(lat.apply, gl))(variables["params"])
+    l_t, g_t = jax.value_and_grad(loss_of(typ.apply, gt))(variables["params"])
+    assert float(l_l) == pytest.approx(float(l_t), abs=2e-5)
+    for a, b in zip(jax.tree.leaves(g_l), jax.tree.leaves(g_t)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_trainer_auto_selects_lattice_on_irregular_import(tmp_path):
+    """An HNSW-import-shaped irregular cohort trains on the lattice fast
+    path end-to-end, and both eval paths agree on the trained checkpoint."""
+    train_list, normal_list = make_irregular_cohort(tmp_path)
+    ckpt = str(tmp_path / "ckpt_irr_lat")
+    cfg = loads_config(CFG_TMPL.format(train=train_list, normal=normal_list,
+                                       ckpt=ckpt, gnn="HEAT2", epochs=8))
+    trainer = GNNTrainer(cfg, seed=0)
+    assert trainer._lattice, "irregular import must auto-select the lattice path"
+    stats = trainer.train(log_every=0)
+    assert np.isfinite(stats["Train Loss: "])
+    ev = HomoGraphEvaluator(cfg, verbose=False)
+    assert ev._lattice_entry() is not None
+    acc, _, _, _, auc = ev.eval()
+    import copy
+
+    cfg_t = copy.deepcopy(cfg)
+    cfg_t["train"]["lattice"] = "off"
+    ev_t = HomoGraphEvaluator(cfg_t, verbose=False)
+    assert ev_t._lattice_entry() is None
+    acc_t, _, _, _, auc_t = ev_t.eval()
+    assert acc_t == pytest.approx(acc, abs=1e-4)
+    assert auc_t == pytest.approx(auc, abs=1e-3)
+
+
+def test_probe_rejects_hub_skewed_padding(tmp_path):
+    """One hub node with out-degree >> mean blows the padding ratio: the
+    probe must fall back to the TypedGraph path rather than train on
+    mostly-padding lattices (train.lattice_pad_ratio, default 1.5)."""
+    rng = np.random.RandomState(5)
+    paths, normals = [], []
+    for i in range(4):
+        label = i % 2
+        n = 30
+        feat = rng.randn(n, D).astype(np.float32)
+        # sparse ring (out-degree 1) + one hub with out-degree 15
+        src = np.concatenate([np.arange(n), np.zeros(15, int)]).astype(np.int64)
+        dst = np.concatenate(
+            [(np.arange(n) + 1) % n, np.arange(2, 17)]).astype(np.int64)
+        barcode = f"TCGA-{i:02d}-0000-01Z-00-DX1"
+        p = os.path.join(str(tmp_path), f"{barcode}.npz")
+        save_graph_npz(
+            p, feat, src, dst, node_type=rng.randint(0, 6, n),
+            esign=rng.randint(0, 2, len(src)),
+            sim=rng.randn(len(src)).astype(np.float32),
+            n_node_types=6, is_hetero=True,
+        )
+        paths.append(p)
+        if label == 0:
+            normals.append(barcode[:16])
+    train_list = os.path.join(str(tmp_path), "train.txt")
+    with open(train_list, "w") as f:
+        f.write("\n".join(paths))
+    normal_list = os.path.join(str(tmp_path), "normal.txt")
+    with open(normal_list, "w") as f:
+        f.write("\n".join(normals))
+    ds = GraphDataset(train_list, normal_list, "BRCA", "train")
+    # ratio = 30*16/45 = 10.7 >> 1.5 -> reject; a permissive ratio accepts
+    assert probe_lattice(ds) is None
+    assert probe_lattice(ds, max_pad_ratio=12.0) is not None
 
 
 def test_trainer_auto_selects_lattice_and_interops(tmp_path):

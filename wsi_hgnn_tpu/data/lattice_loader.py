@@ -10,11 +10,15 @@ reduction is a one-hot GEMM on the MXU instead of a segment scatter —
 the measured 3-4x train-step win over the TypedGraph path (PERF_NOTES).
 
 `probe_lattice` scans a dataset once and returns the lattice geometry iff
-EVERY graph is k-regular with one shared k; the trainer auto-selects the
+EVERY graph packs into one shared [N, k] masked lattice (k = the dataset
+maximum out-degree; shorter rows pad with emask=False slots — the same
+masking the train-time DropEdge exercises); the trainer auto-selects the
 lattice path on success (train.lattice: auto|off). Reference pickles
-converted by tools/convert_reference_graphs.py keep per-node HNSW edges
-and probe positive too; anything irregular (explicit self-loops, merged
-graphs, hand-edited edge sets) falls back to the TypedGraph path.
+converted by tools/convert_reference_graphs.py probe positive even when
+HNSW returned fewer than topn neighbours for some nodes (irregular
+out-degree, graph_constructor.py:267-273). Out-of-range endpoints and
+hub-skewed edge sets (padding ratio past train.lattice_pad_ratio,
+default 1.5) fall back to the TypedGraph path.
 """
 from __future__ import annotations
 
@@ -29,52 +33,87 @@ from .loader import prefetched_batches
 
 def slide_regular_k(g: TypedGraph) -> Optional[int]:
     """k if the single (unbatched) graph is k-regular in out-degree."""
+    geo = slide_lattice_geometry(g)
+    if geo is None:
+        return None
+    k, e, n = geo
+    return k if e == n * k else None
+
+
+def slide_lattice_geometry(g: TypedGraph) -> Optional[Tuple[int, int, int]]:
+    """(max out-degree k̂, real edges, real nodes) if the single (unbatched)
+    graph packs into the MASKED lattice form [N, k̂].
+
+    Out-degree may VARY per node: short rows are padded with emask=False
+    slots, which every lattice consumer already honours (relation presence,
+    softmax, one-hot aggregation — the same masking train-time DropEdge
+    exercises, models/lattice.py:109-113,:140,:164). This is the shape of
+    imported reference graphs when HNSW returns fewer than topn neighbours
+    (graph_constructor.py:267-273). Out-of-range endpoints reject to the
+    TypedGraph path — they would silently clamp in the device gathers /
+    vanish from the one-hot aggregation. Self-edges are fine: BOTH paths
+    exempt them from DropEdge (graph/transforms.py:42-45,
+    lattice_train_transform:112 — the reference adds homo self-loops after
+    augmentation, data.py:120-121), so semantics stay identical.
+    """
     n = int(np.asarray(g.node_mask).sum())
     e = int(np.asarray(g.edge_mask).sum())
-    if n == 0 or e == 0 or e % n:
+    if n == 0 or e == 0:
         return None
-    k = e // n
     src = np.asarray(g.src)[:e]
     dst = np.asarray(g.dst)[:e]
-    # out-of-range endpoints would silently clamp in the device gathers /
-    # vanish from the one-hot aggregation (and a negative src would crash
-    # the bincount below) — reject to the TypedGraph path
     if (src.max(initial=0) >= n or src.min(initial=0) < 0
             or dst.max(initial=0) >= n or dst.min(initial=0) < 0):
         return None
     counts = np.bincount(src, minlength=n)
-    return k if np.all(counts == k) else None
+    return int(counts.max()), e, n
 
 
-def probe_lattice(dataset) -> Optional[Tuple[int, int]]:
-    """(k, node_capacity) if every graph in the dataset is k-regular with
-    the same k — the lattice-trainability test. Delegates to the fused
-    scan so the regularity invariants live in ONE place."""
-    return probe_lattice_and_capacities(dataset, 1)[2]
+def probe_lattice(dataset, max_pad_ratio: float = 1.5) -> Optional[Tuple[int, int]]:
+    """(k, node_capacity) if every graph in the dataset packs into one
+    shared [N, k] masked lattice — the lattice-trainability test. Delegates
+    to the fused scan so the packing invariants live in ONE place."""
+    return probe_lattice_and_capacities(dataset, 1,
+                                        max_pad_ratio=max_pad_ratio)[2]
 
 
 def probe_lattice_and_capacities(dataset, batch_size: int,
-                                 bucket_base: int = 1024):
+                                 bucket_base: int = 1024,
+                                 max_pad_ratio: float = 1.5):
     """(cap_n, cap_e, lattice_probe) in ONE dataset scan — the trainer
-    needs both data.loader.dataset_capacities and the regularity probe at
+    needs both data.loader.dataset_capacities and the lattice probe at
     startup, and each loads every graph from disk; fusing them halves the
-    startup I/O. lattice_probe is (k, lattice_node_capacity) or None."""
-    k: Optional[int] = None
-    regular = True
+    startup I/O. lattice_probe is (k, lattice_node_capacity) or None.
+
+    k is the dataset-wide MAXIMUM out-degree; slides with shorter rows pack
+    with emask=False padding slots (slide_lattice_geometry). The probe
+    accepts the dataset only while the padding stays cheap:
+    sum(n_i) * k / sum(e_i) <= max_pad_ratio — a constructor-regular
+    dataset sits at exactly 1.0, HNSW imports with occasional missing
+    neighbours just above it, and a hub-skewed hand-edited edge set (one
+    node with out-degree >> mean) falls back to the TypedGraph path rather
+    than training on mostly-padding lattices."""
+    k = 0
+    packable = True
     max_n = max_e = 0
+    sum_n = sum_e = 0
     for i in range(len(dataset)):
         g = dataset[i][0]
         n = int(np.asarray(g.node_mask).sum())
         e = int(np.asarray(g.edge_mask).sum())
         max_n = max(max_n, n)
         max_e = max(max_e, e)
-        if regular:
-            ki = slide_regular_k(g)
-            if ki is None or (k is not None and ki != k):
-                regular = False
+        if packable:
+            geo = slide_lattice_geometry(g)
+            if geo is None:
+                packable = False
             else:
-                k = ki
-    probe = (k, bucket_size(max_n)) if regular and k else None
+                k = max(k, geo[0])
+                sum_e += geo[1]
+                sum_n += geo[2]
+    probe = None
+    if packable and k and sum_n * k <= max_pad_ratio * sum_e:
+        probe = (k, bucket_size(max_n))
     return (
         bucket_size(max_n * batch_size, base=bucket_base),
         bucket_size(max_e * batch_size, base=bucket_base),
@@ -99,14 +138,25 @@ def lattice_batch_for_budget(k: int, cap_n: int, budget: int = 2 << 30,
 
 
 def pack_slide(g: TypedGraph, k: int, cap_n: int):
-    """One k-regular TypedGraph -> per-slide lattice buffers [cap_n, ...].
-    Real edges are grouped by source (stable order within a source), so the
-    j-th out-edge of node i lands at (i, j) whatever order the file stored
-    them in."""
+    """One TypedGraph with out-degrees <= k -> per-slide lattice buffers
+    [cap_n, ...]. Real edges are grouped by source (stable order within a
+    source), so the j-th out-edge of node i lands at (i, j) whatever order
+    the file stored them in; nodes with fewer than k out-edges leave their
+    tail slots emask=False (idx 0 — masked slots never reach the softmax,
+    the one-hot aggregation, or relation presence)."""
     n = int(np.asarray(g.node_mask).sum())
-    e = n * k
+    e = int(np.asarray(g.edge_mask).sum())
     src = np.asarray(g.src)[:e]
     order = np.argsort(src, kind="stable")
+    s = src[order]
+    # slot of each edge within its source's group: position minus the
+    # group's first position in the sorted array
+    slot = np.arange(e) - np.searchsorted(s, s, side="left")
+    if e and int(slot.max()) >= k:
+        raise ValueError(
+            f"pack_slide: out-degree {int(slot.max()) + 1} exceeds lattice "
+            f"k={k} (probe_lattice must gate packing)"
+        )
 
     feats = np.zeros((cap_n, g.feat.shape[1]), np.float32)
     ntypes = np.zeros(cap_n, np.int32)
@@ -119,10 +169,10 @@ def pack_slide(g: TypedGraph, k: int, cap_n: int):
     feats[:n] = np.asarray(g.feat)[:n]
     ntypes[:n] = np.asarray(g.node_type)[:n]
     mask[:n] = True
-    idx[:n] = np.asarray(g.dst)[order].reshape(n, k)
-    sim[:n] = np.asarray(g.sim)[order].reshape(n, k)
-    esign[:n] = np.asarray(g.esign)[order].reshape(n, k)
-    emask[:n] = True
+    idx[s, slot] = np.asarray(g.dst)[order]
+    sim[s, slot] = np.asarray(g.sim)[order]
+    esign[s, slot] = np.asarray(g.esign)[order]
+    emask[s, slot] = True
     return feats, ntypes, mask, idx, sim, esign, emask
 
 

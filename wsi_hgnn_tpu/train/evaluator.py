@@ -226,7 +226,10 @@ class HomoGraphEvaluator:
             # lattice path batches too (its twin runs presence='graph').
             stacked = self.is_hetero
             cap_n, cap_e, probe = probe_lattice_and_capacities(
-                self.test_data, batch_size=1 if stacked else 8
+                self.test_data, batch_size=1 if stacked else 8,
+                max_pad_ratio=float(
+                    self.config.get("train", {}).get("lattice_pad_ratio", 1.5)
+                ),
             )
             entry = {"caps": (cap_n, cap_e), "probe": probe,
                      "stacked": stacked}

@@ -106,10 +106,16 @@ class GNNTrainer:
 
         from ..data.lattice_loader import probe_lattice_and_capacities
 
-        # one scan yields the batch capacities AND the k-regularity probe
-        # (each would otherwise load every graph from disk separately)
+        # one scan yields the batch capacities AND the lattice probe
+        # (each would otherwise load every graph from disk separately).
+        # Irregular out-degrees pack with masked padding slots up to
+        # train.lattice_pad_ratio (imported HNSW graphs with missing
+        # neighbours stay on the fast path; hub-skewed edge sets fall back)
         cap_n, cap_e, lat_probe = probe_lattice_and_capacities(
-            self.train_data, self.batch_size
+            self.train_data, self.batch_size,
+            max_pad_ratio=float(
+                self.config_train.get("lattice_pad_ratio", 1.5)
+            ),
         )
 
         # graph-context parallelism: when a batch's edge store exceeds the
@@ -125,10 +131,11 @@ class GNNTrainer:
         if self._big_graph:
             cap_e = ((cap_e + n_dev - 1) // n_dev) * n_dev
 
-        # lattice fast path (PERF_NOTES): HEAT2/HEAT4 on a k-regular
-        # dataset train on the [B, N, k] lattice twin — identical param
-        # tree, destination reductions as one-hot GEMMs instead of segment
-        # scatters. Auto-selected; `train.lattice: off` disables.
+        # lattice fast path (PERF_NOTES): HEAT2/HEAT4 on a lattice-packable
+        # dataset (out-degrees <= k, padding-masked) train on the [B, N, k]
+        # lattice twin — identical param tree, destination reductions as
+        # one-hot GEMMs instead of segment scatters. Auto-selected;
+        # `train.lattice: off` disables.
         self._lattice = False
         self._lat_model = None
         self._lat_eval_fwd = None
@@ -163,8 +170,8 @@ class GNNTrainer:
                     self.train_data, self.batch_size, self._lat_k,
                     lat_cap_n, shuffle=True, seed=seed,
                 )
-                print(f"lattice mode: {self._lat_k}-regular graphs, "
-                      f"node capacity {lat_cap_n}")
+                print(f"lattice mode: k={self._lat_k} (masked padding for "
+                      f"shorter rows), node capacity {lat_cap_n}")
             else:
                 self._lat_model = None
 
@@ -433,7 +440,10 @@ class GNNTrainer:
             data, average = select_dataset(self.config_data, split_path, "eval")
             stacked = self.is_hetero
             cap_n, cap_e, probe = probe_lattice_and_capacities(
-                data, 1 if stacked else 8
+                data, 1 if stacked else 8,
+                max_pad_ratio=float(
+                    self.config_train.get("lattice_pad_ratio", 1.5)
+                ),
             )
             self._split_info_cache[split_path] = (
                 data, average, stacked, (cap_n, cap_e), probe

@@ -197,6 +197,207 @@ def test_dsmil_trajectory_matches_reference_torch():
             err_msg="fcc kernel diverged")
 
 
+def _dense_mincut_torch(x, adj, s, mask):
+    """torch_geometric's dense_mincut_pool restated densely (the one
+    component of the GTNMIL Classifier whose reference implementation
+    needs torch_geometric, GraphTransformer.py:16,:65); numerically
+    mirrors models/mil/graph_transformer.dense_mincut_pool."""
+    s = torch.softmax(s, dim=-1) * mask.unsqueeze(2)
+    x_p = s.transpose(1, 2) @ x
+    adj_p = s.transpose(1, 2) @ adj @ s
+    num = torch.einsum("bkk->b", adj_p)
+    deg = adj.sum(-1)
+    den = torch.einsum("bnk,bn,bnk->b", s, deg, s)
+    mincut = -(num / den.clamp_min(1e-12)).mean()
+    ss = s.transpose(1, 2) @ s
+    k = s.shape[-1]
+    ss_n = torch.linalg.matrix_norm(ss).clamp_min(1e-12)
+    eye = torch.eye(k) / k ** 0.5
+    ortho = torch.linalg.matrix_norm(
+        ss / ss_n[:, None, None] - eye).mean()
+    d = torch.einsum("bkk->bk", adj_p)
+    adj_p = adj_p - torch.diag_embed(d)
+    inv = adj_p.sum(-1).clamp_min(1e-12).rsqrt()
+    adj_p = adj_p * inv.unsqueeze(-1) * inv.unsqueeze(1)
+    return x_p, adj_p, mincut, ortho
+
+
+def test_gtn_trajectory_matches_reference_torch(monkeypatch):
+    """GTNMIL Classifier training parity. The torch oracle is assembled
+    from the reference's OWN modules — gcn.GCNBlock (bn=1, add_self=1,
+    normalize=1, relu=0; .cuda() patched out) and ViT.VisionTransformer
+    (loaded and weight-copied exactly as test_relprop does) — glued per
+    GraphTransformer.py:39-77 with only dense_mincut_pool restated. Both
+    stacks train per-bag with CE + mincut + ortho loss and Adam(wd 5e-4)
+    under the epoch-pinned cosine LR (main_kfold.py:118-120; the
+    reference's scheduler.step(epoch) mid-loop pins each epoch's LR to
+    cosine(epoch) — train_mil.cosine_epoch_schedule's documented
+    semantics, applied on the torch side as a closed-form per-epoch lr
+    set). Pins the mincut/ortho gradients, the masked-BN dynamics inside
+    GCNBlock, and the transformer under training — lockstep."""
+    import sys
+    import types
+
+    pytest.importorskip("einops")
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    ref_models = "/root/reference/baselines/GTNMIL/models"
+    if not os.path.isdir(ref_models):
+        pytest.skip("reference GTNMIL not available")
+    if "refgtnm" not in sys.modules:
+        pkg = types.ModuleType("refgtnm")
+        pkg.__path__ = [ref_models]
+        sys.modules["refgtnm"] = pkg
+    import importlib
+
+    ref_gcn = importlib.import_module("refgtnm.gcn")
+    ViT = importlib.import_module("refgtnm.ViT")
+    from test_relprop import _copy_to_torch
+
+    from wsi_hgnn_tpu.models.mil import GraphTransformer
+
+    EMBED, DEPTH, CLUSTERS, DIN = 16, 3, 8, 8
+    LR_G, WD_G, EPOCHS_G = 1e-3, 5e-4, 4
+
+    rng = np.random.RandomState(51)
+    sizes = (10, 7, 12, 9)
+    cap = max(sizes)
+    bags, adjs, labels = [], [], np.array([0, 1, 1, 0], np.int64)
+    for n in sizes:
+        bags.append(rng.randn(n, DIN).astype(np.float32))
+        a = (rng.rand(n, n) < 0.3).astype(np.float32)
+        np.fill_diagonal(a, 0.0)
+        adjs.append(a)
+
+    model = GraphTransformer(n_class=C, in_dim=DIN, embed_dim=EMBED,
+                             node_cluster_num=CLUSTERS, depth=DEPTH)
+
+    def padded(i):
+        f = np.zeros((cap, DIN), np.float32)
+        f[: sizes[i]] = bags[i]
+        a = np.zeros((cap, cap), np.float32)
+        a[: sizes[i], : sizes[i]] = adjs[i]
+        m = np.zeros(cap, np.float32)
+        m[: sizes[i]] = 1.0
+        return (jnp.asarray(f[None]), jnp.asarray(a[None]),
+                jnp.asarray(m[None]))
+
+    variables = model.init(jax.random.PRNGKey(43), *padded(0))
+    params, bstats = variables["params"], variables["batch_stats"]
+    init = jax.tree.map(np.asarray, params)
+
+    import optax
+
+    lr_of = train_mil.cosine_epoch_schedule(LR_G, EPOCHS_G, len(bags))
+    tx = optax.chain(
+        optax.add_decayed_weights(WD_G),
+        optax.scale_by_adam(),
+        optax.scale_by_schedule(lambda c: -lr_of(c)),
+    )
+
+    @jax.jit
+    def step(params, bstats, opt_state, feats, adj, mask, label):
+        def loss_fn(p):
+            (logits, aux), upd = model.apply(
+                {"params": p, "batch_stats": bstats}, feats, adj, mask,
+                train=True, mutable=["batch_stats"],
+            )
+            return (-jax.nn.log_softmax(logits)[0, label] + aux,
+                    upd["batch_stats"])
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, opt_state, loss
+
+    opt_state = tx.init(params)
+    j_losses = []
+    for _ in range(EPOCHS_G):
+        for i in range(len(bags)):
+            params, bstats, opt_state, loss = step(
+                params, bstats, opt_state, *padded(i), int(labels[i]))
+            j_losses.append(float(loss))
+
+    # ---- the reference-module oracle
+    conv1 = ref_gcn.GCNBlock(DIN, EMBED, 1, 1, 1, 0.0, 0)
+    pool1 = torch.nn.Linear(EMBED, CLUSTERS)
+    cls_token = torch.nn.Parameter(
+        torch.from_numpy(np.asarray(init["cls_token"]).copy()))
+    vt = _copy_to_torch(torch, ViT, init)
+    vt.train()
+    with torch.no_grad():
+        conv1.weight.copy_(torch.from_numpy(
+            np.asarray(init["conv1"]["weight"]["kernel"]).copy()))
+        conv1.bias.copy_(torch.from_numpy(
+            np.asarray(init["conv1"]["weight"]["bias"]).copy()))
+        conv1.bn_layer.weight.copy_(torch.from_numpy(
+            np.asarray(init["conv1"]["bn"]["scale"]).copy()))
+        conv1.bn_layer.bias.copy_(torch.from_numpy(
+            np.asarray(init["conv1"]["bn"]["bias"]).copy()))
+        pool1.weight.copy_(torch.from_numpy(
+            np.asarray(init["pool1"]["kernel"]).T.copy()))
+        pool1.bias.copy_(torch.from_numpy(
+            np.asarray(init["pool1"]["bias"]).copy()))
+    conv1.train()
+
+    all_params = (list(conv1.parameters()) + list(pool1.parameters())
+                  + [cls_token] + list(vt.parameters()))
+    opt = torch.optim.Adam(all_params, lr=LR_G, weight_decay=WD_G)
+
+    def torch_forward(i):
+        x = torch.from_numpy(bags[i][None])
+        adj = torch.from_numpy(adjs[i][None])
+        m = torch.ones(1, sizes[i])
+        X = m.unsqueeze(2) * x
+        X = conv1(X, adj, m)
+        s = pool1(X)
+        X, _, mc1, o1 = _dense_mincut_torch(X, adj, s, m)
+        X = torch.cat([cls_token.repeat(1, 1, 1), X], dim=1)
+        out = vt(X)
+        label = torch.from_numpy(labels[i : i + 1])
+        return torch.nn.functional.cross_entropy(out, label) + mc1 + o1
+
+    t_losses = []
+    for e in range(EPOCHS_G):
+        # main_kfold's scheduler.step(epoch) pins epoch e to cosine(e)
+        lr_e = 5e-6 + (LR_G - 5e-6) * (1 + math.cos(math.pi * e / EPOCHS_G)) / 2
+        for group in opt.param_groups:
+            group["lr"] = lr_e
+        for i in range(len(bags)):
+            opt.zero_grad()
+            loss = torch_forward(i)
+            loss.backward()
+            opt.step()
+            t_losses.append(float(loss.detach()))
+
+    j, t = np.array(j_losses), np.array(t_losses)
+    assert j[-1] < j[0], "no learning signal"
+    np.testing.assert_allclose(j, t, atol=3e-4, rtol=3e-4)
+    fparams = jax.tree.map(np.asarray, params)
+    with torch.no_grad():
+        np.testing.assert_allclose(
+            fparams["conv1"]["weight"]["kernel"],
+            conv1.weight.detach().numpy(), atol=1e-4, rtol=0,
+            err_msg="conv1 weight diverged")
+        np.testing.assert_allclose(
+            fparams["pool1"]["kernel"], pool1.weight.detach().numpy().T,
+            atol=1e-4, rtol=0, err_msg="pool1 diverged")
+        np.testing.assert_allclose(
+            fparams["cls_token"], cls_token.detach().numpy(), atol=1e-4,
+            rtol=0, err_msg="cls_token diverged")
+        np.testing.assert_allclose(
+            fparams["blocks_0"]["qkv"]["kernel"],
+            vt.blocks[0].attn.qkv.weight.detach().numpy().T, atol=1e-4,
+            rtol=0, err_msg="block 0 qkv diverged")
+        np.testing.assert_allclose(
+            fparams["head"]["kernel"], vt.head.weight.detach().numpy().T,
+            atol=1e-4, rtol=0, err_msg="head diverged")
+    fbs = jax.tree.map(np.asarray, bstats)
+    np.testing.assert_allclose(
+        fbs["conv1"]["bn"]["mean"],
+        conv1.bn_layer.running_mean.detach().numpy(), atol=3e-4, rtol=0,
+        err_msg="conv1 BN running_mean diverged")
+
+
 def test_abmil_trajectory_matches_reference_torch():
     """ABMIL: linear-ReLU-linear attention + softmax-weighted bag pooling
     trains in lockstep with the reference's own abmil.BClassifier."""

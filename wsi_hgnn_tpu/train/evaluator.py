@@ -238,8 +238,10 @@ class HomoGraphEvaluator:
 
     def _lattice_entry(self):
         """(lattice twin, loader) for the current dataset when the model
-        has a lattice form and every graph is k-regular, else None (same
-        auto-selection as the trainer; `train.lattice: off` disables)."""
+        has a lattice form and every graph packs into one shared [N, k]
+        masked lattice (out-degrees <= k, padding ratio within
+        train.lattice_pad_ratio), else None (same auto-selection as the
+        trainer; `train.lattice: off` disables)."""
         entry = self._dataset_entry()
         if "lat" not in entry:
             lat = None

@@ -1,4 +1,5 @@
-"""Lattice-form host batching for k-regular slide graphs.
+"""Lattice-form host batching for lattice-packable slide graphs
+(k-regular constructor output AND irregular imports via masked padding).
 
 Every graph the constructor emits is k-regular by construction: the KNN
 query gives each node exactly radius-1 out-neighbours
@@ -40,7 +41,9 @@ def slide_regular_k(g: TypedGraph) -> Optional[int]:
     return k if e == n * k else None
 
 
-def slide_lattice_geometry(g: TypedGraph) -> Optional[Tuple[int, int, int]]:
+def slide_lattice_geometry(
+    g: TypedGraph, n: Optional[int] = None, e: Optional[int] = None,
+) -> Optional[Tuple[int, int, int]]:
     """(max out-degree k̂, real edges, real nodes) if the single (unbatched)
     graph packs into the MASKED lattice form [N, k̂].
 
@@ -55,9 +58,14 @@ def slide_lattice_geometry(g: TypedGraph) -> Optional[Tuple[int, int, int]]:
     exempt them from DropEdge (graph/transforms.py:42-45,
     lattice_train_transform:112 — the reference adds homo self-loops after
     augmentation, data.py:120-121), so semantics stay identical.
+
+    `n`/`e` accept precomputed real node/edge counts so fused dataset
+    scans (probe_lattice_and_capacities) don't re-reduce the masks.
     """
-    n = int(np.asarray(g.node_mask).sum())
-    e = int(np.asarray(g.edge_mask).sum())
+    if n is None:
+        n = int(np.asarray(g.node_mask).sum())
+    if e is None:
+        e = int(np.asarray(g.edge_mask).sum())
     if n == 0 or e == 0:
         return None
     src = np.asarray(g.src)[:e]
@@ -104,7 +112,7 @@ def probe_lattice_and_capacities(dataset, batch_size: int,
         max_n = max(max_n, n)
         max_e = max(max_e, e)
         if packable:
-            geo = slide_lattice_geometry(g)
+            geo = slide_lattice_geometry(g, n=n, e=e)
             if geo is None:
                 packable = False
             else:

@@ -46,7 +46,10 @@ _CLAMP = 60.0
 
 
 class LatticeGraph(NamedTuple):
-    """A cohort of KNN slide graphs in regular lattice form."""
+    """A cohort of KNN slide graphs in [B, N, k] lattice form. Rows need
+    not be full: emask marks the live slots (constructor graphs fill
+    every slot; irregular imports pad short rows, DropEdge clears
+    more), and every consumer masks by it."""
 
     feats: jax.Array   # [B, N, D]
     ntypes: jax.Array  # [B, N] int32

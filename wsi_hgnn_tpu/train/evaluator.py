@@ -200,7 +200,7 @@ class HomoGraphEvaluator:
 
     def _dataset_entry(self):
         """Per-dataset cache: ONE fused scan yields the batch capacities
-        and the k-regularity probe, and the loaders built from them.
+        and the lattice-packability probe, and the loaders built from them.
         Keyed by the dataset OBJECT (weakly) — an id()-keyed dict can go
         stale when a freed dataset's id is reused by a new one, silently
         selecting the wrong eval path. (Entries holding a loader still

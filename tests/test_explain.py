@@ -270,6 +270,73 @@ def _np_ce(logits, label):
     return float(-(z[label] - np.log(np.exp(z).sum())))
 
 
+def test_gnn_explainer_trajectory_matches_torch():
+    """The FULL mask optimisation (30 compounded Adam steps through
+    GNNExplainer.explain_node, the public API) lands on the same masks as
+    an independent torch twin of the reference loop
+    (gnn_explainer.py:71-77 init, :84-103 loss, :172-181 Adam loop) run
+    from the identical initialisation. Extends the single-step goldens to
+    the multi-step composition: a mis-weighted regulariser, a wrong Adam
+    hyperparameter, or a drifting mask pytree would compound and diverge."""
+    torch = pytest.importorskip("torch")
+    from math import sqrt
+
+    g, feat, src, dst, W = _golden_graph()
+    model_fn = _golden_model_fn(W)
+    epochs, lr, seed = 30, 0.01, 9
+    coeffs = dict(edge_size=0.005, feat_size=0.1, edge_ent=1.0,
+                  feat_ent=0.1, eps=1e-15)
+
+    explainer = GNNExplainer(g, model_fn, num_hops=1, epochs=epochs,
+                             lr=lr, edge_size=coeffs["edge_size"],
+                             feat_size=coeffs["feat_size"], seed=seed)
+    out_g, node_mask = explainer.explain_node(None)
+    edge_mask = np.asarray(out_g.edge_weight)
+
+    # replicate explain_node's deterministic init (gnn_explainer.py:76:
+    # node noise * 0.1, edge std = relu gain over real nodes)
+    n, e = feat.shape[0], len(src)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    node0 = np.asarray(jax.random.normal(k1, (n,))) * 0.1
+    std = sqrt(2.0) * sqrt(2.0 / (2 * n))
+    edge0 = np.asarray(jax.random.normal(k2, (e,))) * std
+
+    pred_label = int(np.asarray(model_fn(g, None)).reshape(-1).argmax())
+    node_l = torch.nn.Parameter(torch.from_numpy(node0.astype(np.float32)))
+    edge_l = torch.nn.Parameter(torch.from_numpy(edge0.astype(np.float32)))
+    opt = torch.optim.Adam([node_l, edge_l], lr=lr)
+    tfeat = torch.from_numpy(feat)
+    tsrc = torch.from_numpy(src.astype(np.int64))
+    tdst = torch.from_numpy(dst.astype(np.int64))
+    tW = torch.from_numpy(W)
+    eps = coeffs["eps"]
+    for _ in range(epochs):
+        opt.zero_grad()
+        mn, me = torch.sigmoid(node_l), torch.sigmoid(edge_l)
+        h = tfeat * mn[:, None]
+        agg = torch.zeros_like(h).index_add(0, tdst, h[tsrc] * me[:, None])
+        logits = (agg.sum(0) / n) @ tW
+        loss = -logits[pred_label]
+        loss = loss + me.sum() * coeffs["edge_size"]
+        ent_e = -me * torch.log(me + eps) - (1 - me) * torch.log(1 - me + eps)
+        loss = loss + coeffs["edge_ent"] * ent_e.mean()
+        loss = loss + mn.mean() * coeffs["feat_size"]
+        ent_n = -mn * torch.log(mn + eps) - (1 - mn) * torch.log(1 - mn + eps)
+        loss = loss + coeffs["feat_ent"] * ent_n.mean()
+        loss.backward()
+        opt.step()
+
+    with torch.no_grad():
+        np.testing.assert_allclose(
+            node_mask, torch.sigmoid(node_l).numpy(), atol=1e-4, rtol=0,
+            err_msg="node mask diverged from the torch twin")
+        np.testing.assert_allclose(
+            edge_mask, torch.sigmoid(edge_l).numpy(), atol=1e-4, rtol=0,
+            err_msg="edge mask diverged from the torch twin")
+    # and the optimisation actually moved the masks
+    assert np.abs(node_mask - _sigmoid(node0)).max() > 1e-3
+
+
 def test_gem_loss_delta_golden():
     """GemExplainer's full score vector equals the NumPy leave-one-out
     oracle: delta_i = CE(pred - pred_without_i, label), min-max normalised
